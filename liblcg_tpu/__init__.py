@@ -1,0 +1,94 @@
+"""liblcg_tpu — a TPU-native Krylov solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the full capability set of the
+reference C++/CUDA library liblcg (YiZhangCUG/liblcg): CG, PCG, CGS,
+BiCGSTAB, restarted BiCGSTAB, projected-gradient and spectral-projected-
+gradient solvers for real systems; BiCG, symmetric BiCG, CGS, BiCGSTAB,
+TFQMR, PCG and PBiCG for complex systems; Jacobi / incomplete-Cholesky /
+incomplete-LU preconditioning; plus first-class multi-chip scaling over a
+``jax.sharding.Mesh`` that the reference (single-process OpenMP / single
+GPU) never had.
+
+Design principles (vs. the reference):
+- one dtype-polymorphic engine per algorithm instead of 3 duplicated
+  backend stacks (native/Eigen/CUDA);
+- whole solves compile to a single XLA while-loop — no host-device scalar
+  round-trips per iteration (the reference CUDA path syncs 3-4 scalars to
+  host every iteration, lcg_cuda.cu:515-532);
+- the ``lcg_axfunc_ptr`` callback becomes a ``LinearOperator`` protocol
+  (mv/rmv/cmv/hmv) that is a pytree, matrix-free friendly, and shards;
+- explicit PRNG keys instead of ``srand(time(0))``;
+- solver state is a pytree: suspend/resume/checkpoint by construction.
+"""
+
+from .types import (
+    DEFAULT_PARAMS,
+    SolverParams,
+    SolveResult,
+    Status,
+)
+from .operators import (
+    DenseOperator,
+    LinearOperator,
+    MatrixFreeOperator,
+    NormalEqOperator,
+    ProductOperator,
+    ScaledOperator,
+    SparseOperator,
+    SumOperator,
+    aslinearoperator,
+)
+from .solve import (
+    COMPLEX_METHODS,
+    REAL_METHODS,
+    canonical_method,
+    clcg_solver,
+    lcg_solver,
+    lcg_solver_constrained,
+    lcg_solver_preconditioned,
+    solve,
+)
+from .precond import (
+    JacobiPreconditioner,
+    SSORPreconditioner,
+    TriangularPreconditioner,
+    incomplete_cholesky,
+    incomplete_lu,
+)
+from .utils.errors import LcgError, check_status, status_message
+from .utils import io
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEFAULT_PARAMS",
+    "SolverParams",
+    "SolveResult",
+    "Status",
+    "LinearOperator",
+    "DenseOperator",
+    "SparseOperator",
+    "MatrixFreeOperator",
+    "NormalEqOperator",
+    "ScaledOperator",
+    "SumOperator",
+    "ProductOperator",
+    "aslinearoperator",
+    "solve",
+    "lcg_solver",
+    "lcg_solver_preconditioned",
+    "lcg_solver_constrained",
+    "clcg_solver",
+    "canonical_method",
+    "REAL_METHODS",
+    "COMPLEX_METHODS",
+    "JacobiPreconditioner",
+    "SSORPreconditioner",
+    "TriangularPreconditioner",
+    "incomplete_cholesky",
+    "incomplete_lu",
+    "LcgError",
+    "check_status",
+    "status_message",
+    "io",
+]

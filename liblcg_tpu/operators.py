@@ -1,0 +1,471 @@
+"""Linear operator protocol — the TPU-native replacement for liblcg's
+callback design.
+
+The reference never materializes ``A`` inside a solver: the user passes a C
+function pointer ``lcg_axfunc_ptr`` computing ``Ax`` (``src/lib/lcg.h:37-38``),
+and in the complex domain the callback additionally receives a
+``(lcg_matrix_e layout, clcg_complex_e conjugate)`` mode pair so a single
+callback can serve A, A^T, conj(A) and A^H (``src/lib/clcg.h:40-41``,
+``lcg_complex.h:310-327``).
+
+Here that contract becomes a small protocol of four linear maps:
+
+    mv(x)  = A x          rmv(x) = A^T x
+    cmv(x) = conj(A) x    hmv(x) = A^H x
+
+Only ``mv`` is required; the other three default to conjugation identities or
+to ``jax.linear_transpose`` (matrix-free).  Operators are pytrees, so they
+flow through ``jax.jit`` / ``lax.while_loop`` carries and across
+``shard_map`` boundaries unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node
+
+from .ops.spmv import coo_to_ell, dense_mv, ell_spmv
+
+
+class LinearOperator:
+    """Abstract square (or rectangular) linear operator.
+
+    Subclasses must define ``mv`` and the ``shape``/``dtype`` attributes.
+    ``rmv`` (transpose), ``cmv`` (elementwise conjugate) and ``hmv``
+    (conjugate transpose) have consistent defaults.
+    """
+
+    shape: Tuple[int, int]
+    dtype: np.dtype
+
+    # -- required -----------------------------------------------------------
+    def mv(self, x):
+        raise NotImplementedError
+
+    # -- derived ------------------------------------------------------------
+    def rmv(self, x):
+        """A^T x.  Default: algebraic transpose via jax.linear_transpose."""
+        transpose = jax.linear_transpose(
+            self.mv, jnp.zeros(self.shape[1], dtype=self.dtype)
+        )
+        (out,) = transpose(x)
+        return out
+
+    def cmv(self, x):
+        """conj(A) x = conj(A conj(x))."""
+        if not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating):
+            return self.mv(x)
+        return jnp.conj(self.mv(jnp.conj(x)))
+
+    def hmv(self, x):
+        """A^H x = conj(A^T conj(x))."""
+        if not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating):
+            return self.rmv(x)
+        return jnp.conj(self.rmv(jnp.conj(x)))
+
+    def diagonal(self):
+        """diag(A), used by the Jacobi preconditioner.  Optional."""
+        raise NotImplementedError(f"{type(self).__name__} has no diagonal()")
+
+    # -- sugar --------------------------------------------------------------
+    def __matmul__(self, x):
+        return self.mv(x)
+
+    @property
+    def n(self) -> int:
+        return self.shape[1]
+
+
+class DenseOperator(LinearOperator):
+    """Dense matrix operator; products run on the MXU.
+
+    Replaces the reference's OpenMP dense matvec ``lcg_matvec``
+    (algebra.cpp:165-193) and the 4-mode complex variant
+    (lcg_complex.cpp:169-234).
+    """
+
+    def __init__(self, A):
+        self.A = jnp.asarray(A)
+        self.shape = tuple(self.A.shape)
+        self.dtype = self.A.dtype
+
+    def mv(self, x):
+        return dense_mv(self.A, x)
+
+    def rmv(self, x):
+        return dense_mv(self.A.T, x)
+
+    def cmv(self, x):
+        return dense_mv(jnp.conj(self.A), x)
+
+    def hmv(self, x):
+        return dense_mv(jnp.conj(self.A.T), x)
+
+    def diagonal(self):
+        return jnp.diagonal(self.A)
+
+
+def _dense_flatten(op):
+    return (op.A,), None
+
+
+def _dense_unflatten(_, children):
+    obj = object.__new__(DenseOperator)
+    obj.A = children[0]
+    try:
+        obj.shape = tuple(children[0].shape)
+        obj.dtype = children[0].dtype
+    except AttributeError:  # tracing placeholders
+        obj.shape = None
+        obj.dtype = None
+    return obj
+
+
+register_pytree_node(DenseOperator, _dense_flatten, _dense_unflatten)
+
+
+class SparseOperator(LinearOperator):
+    """Sparse operator in padded ELL layout (gather-based SpMV).
+
+    Built from COO triplets (the reference's on-disk and in-memory sparse
+    format, ``data/README:1-11`` and ``algebra.cpp:195-222``).  Construction
+    runs on host in numpy: duplicates are summed, rows are packed to fixed
+    width k = max nnz/row, and — unless ``assume_symmetric`` — a second ELL
+    image of A^T is prepared so ``rmv``/``hmv`` are also single gathers.
+    """
+
+    def __init__(
+        self,
+        n_rows: int,
+        n_cols: int,
+        rows,
+        cols,
+        vals,
+        *,
+        assume_symmetric: bool = False,
+        pad_rows_to: int = 1,
+        dtype=None,
+    ):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        if dtype is not None:
+            vals = vals.astype(dtype)
+        self.shape = (n_rows, n_cols)
+        self.dtype = jnp.dtype(vals.dtype)
+        self.assume_symmetric = bool(assume_symmetric)
+        self.n_padded = -(-n_rows // pad_rows_to) * pad_rows_to
+
+        ell_cols, ell_vals = coo_to_ell(n_rows, rows, cols, vals, pad_rows_to)
+        self.ell_cols = jnp.asarray(ell_cols)
+        self.ell_vals = jnp.asarray(ell_vals)
+
+        if assume_symmetric:
+            self.ell_cols_t = self.ell_cols
+            self.ell_vals_t = self.ell_vals
+        else:
+            t_cols, t_vals = coo_to_ell(n_cols, cols, rows, vals, pad_rows_to)
+            self.ell_cols_t = jnp.asarray(t_cols)
+            self.ell_vals_t = jnp.asarray(t_vals)
+
+        diag_mask = rows == cols
+        diag = np.zeros(n_rows, dtype=vals.dtype)
+        np.add.at(diag, rows[diag_mask], vals[diag_mask])
+        self._diag = jnp.asarray(diag)
+        self.nnz = int(len(vals))
+
+    def mv(self, x):
+        y = ell_spmv(self.ell_cols, self.ell_vals, x)
+        return y[: self.shape[0]] if self.n_padded != self.shape[0] else y
+
+    def rmv(self, x):
+        y = ell_spmv(self.ell_cols_t, self.ell_vals_t, x)
+        return y[: self.shape[1]] if self.ell_cols_t.shape[0] != self.shape[1] else y
+
+    def cmv(self, x):
+        y = ell_spmv(self.ell_cols, jnp.conj(self.ell_vals), x)
+        return y[: self.shape[0]] if self.n_padded != self.shape[0] else y
+
+    def hmv(self, x):
+        y = ell_spmv(self.ell_cols_t, jnp.conj(self.ell_vals_t), x)
+        return y[: self.shape[1]] if self.ell_cols_t.shape[0] != self.shape[1] else y
+
+    def diagonal(self):
+        return self._diag
+
+    @classmethod
+    def from_dense(cls, A, **kw):
+        A = np.asarray(A)
+        rows, cols = np.nonzero(A)
+        return cls(A.shape[0], A.shape[1], rows, cols, A[rows, cols], **kw)
+
+
+def _sparse_flatten(op):
+    leaves = (
+        op.ell_cols,
+        op.ell_vals,
+        op.ell_cols_t,
+        op.ell_vals_t,
+        op._diag,
+    )
+    aux = (op.shape, str(op.dtype), op.assume_symmetric, op.n_padded, op.nnz)
+    return leaves, aux
+
+
+def _sparse_unflatten(aux, children):
+    obj = object.__new__(SparseOperator)
+    (obj.ell_cols, obj.ell_vals, obj.ell_cols_t, obj.ell_vals_t, obj._diag) = children
+    obj.shape, dtype_str, obj.assume_symmetric, obj.n_padded, obj.nnz = aux
+    obj.dtype = jnp.dtype(dtype_str)
+    return obj
+
+
+register_pytree_node(SparseOperator, _sparse_flatten, _sparse_unflatten)
+
+
+class MatrixFreeOperator(LinearOperator):
+    """Wraps an arbitrary jit-compatible linear callable, the direct analogue
+    of passing a bare ``lcg_axfunc_ptr`` (lcg.h:37-38).
+
+    ``rmv`` defaults to the algebraic transpose derived by
+    ``jax.linear_transpose`` — the functional-transform answer to the
+    reference's requirement that one callback implement all four operator
+    modes (clcg.h:40-41).
+    """
+
+    def __init__(
+        self,
+        fun: Callable,
+        n: int,
+        dtype=jnp.float64,
+        *,
+        m: Optional[int] = None,
+        rmv_fun: Optional[Callable] = None,
+        diag=None,
+    ):
+        self._fun = fun
+        self._rmv_fun = rmv_fun
+        self.shape = (m if m is not None else n, n)
+        self.dtype = jnp.dtype(dtype)
+        self._diag_val = None if diag is None else jnp.asarray(diag)
+
+    def mv(self, x):
+        return self._fun(x)
+
+    def rmv(self, x):
+        if self._rmv_fun is not None:
+            return self._rmv_fun(x)
+        return super().rmv(x)
+
+    def diagonal(self):
+        if self._diag_val is None:
+            raise NotImplementedError("matrix-free operator without diag")
+        return self._diag_val
+
+
+def _mf_flatten(op):
+    return (op._diag_val,), (op._fun, op._rmv_fun, op.shape, str(op.dtype))
+
+
+def _mf_unflatten(aux, children):
+    obj = object.__new__(MatrixFreeOperator)
+    obj._fun, obj._rmv_fun, obj.shape, dtype_str = aux
+    obj.dtype = jnp.dtype(dtype_str)
+    obj._diag_val = children[0]
+    return obj
+
+
+register_pytree_node(MatrixFreeOperator, _mf_flatten, _mf_unflatten)
+
+
+class NormalEqOperator(LinearOperator):
+    """A^T A as an SPD operator (real) / A^H A (complex).
+
+    The reference's sample1 builds an SPD system via normal equations
+    (sample1.cpp:48-52: the callback computes ``A^T (A x)``).  This wrapper
+    gives the same two-pass product for any inner operator.
+    """
+
+    def __init__(self, inner: LinearOperator):
+        self.inner = inner
+        n = inner.shape[1]
+        self.shape = (n, n)
+        self.dtype = inner.dtype
+
+    def mv(self, x):
+        if jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating):
+            return self.inner.hmv(self.inner.mv(x))
+        return self.inner.rmv(self.inner.mv(x))
+
+    def rmv(self, x):
+        return self.mv(x)  # symmetric / Hermitian by construction
+
+    def hmv(self, x):
+        return self.mv(x)
+
+
+def _ne_flatten(op):
+    return (op.inner,), None
+
+
+def _ne_unflatten(_, children):
+    obj = object.__new__(NormalEqOperator)
+    obj.inner = children[0]
+    try:
+        n = obj.inner.shape[1]
+        obj.shape = (n, n)
+        obj.dtype = obj.inner.dtype
+    except (AttributeError, TypeError):
+        obj.shape = None
+        obj.dtype = None
+    return obj
+
+
+register_pytree_node(NormalEqOperator, _ne_flatten, _ne_unflatten)
+
+
+class ScaledOperator(LinearOperator):
+    """alpha * A."""
+
+    def __init__(self, alpha, inner: LinearOperator):
+        self.alpha = jnp.asarray(alpha)
+        self.inner = inner
+        self.shape = inner.shape
+        self.dtype = jnp.promote_types(self.alpha.dtype, inner.dtype)
+
+    def mv(self, x):
+        return self.alpha * self.inner.mv(x)
+
+    def rmv(self, x):
+        return self.alpha * self.inner.rmv(x)
+
+    def cmv(self, x):
+        return jnp.conj(self.alpha) * self.inner.cmv(x)
+
+    def hmv(self, x):
+        return jnp.conj(self.alpha) * self.inner.hmv(x)
+
+    def diagonal(self):
+        return self.alpha * self.inner.diagonal()
+
+
+def _scaled_flatten(op):
+    return (op.alpha, op.inner), None
+
+
+def _scaled_unflatten(_, children):
+    obj = object.__new__(ScaledOperator)
+    obj.alpha, obj.inner = children
+    try:
+        obj.shape = obj.inner.shape
+        obj.dtype = jnp.promote_types(obj.alpha.dtype, obj.inner.dtype)
+    except (AttributeError, TypeError):
+        obj.shape = None
+        obj.dtype = None
+    return obj
+
+
+register_pytree_node(ScaledOperator, _scaled_flatten, _scaled_unflatten)
+
+
+class SumOperator(LinearOperator):
+    """A + B."""
+
+    def __init__(self, a: LinearOperator, b: LinearOperator):
+        assert a.shape == b.shape, "operator shapes must match"
+        self.a, self.b = a, b
+        self.shape = a.shape
+        self.dtype = jnp.promote_types(a.dtype, b.dtype)
+
+    def mv(self, x):
+        return self.a.mv(x) + self.b.mv(x)
+
+    def rmv(self, x):
+        return self.a.rmv(x) + self.b.rmv(x)
+
+    def cmv(self, x):
+        return self.a.cmv(x) + self.b.cmv(x)
+
+    def hmv(self, x):
+        return self.a.hmv(x) + self.b.hmv(x)
+
+    def diagonal(self):
+        return self.a.diagonal() + self.b.diagonal()
+
+
+def _sum_flatten(op):
+    return (op.a, op.b), None
+
+
+def _sum_unflatten(_, children):
+    obj = object.__new__(SumOperator)
+    obj.a, obj.b = children
+    try:
+        obj.shape = obj.a.shape
+        obj.dtype = jnp.promote_types(obj.a.dtype, obj.b.dtype)
+    except (AttributeError, TypeError):
+        obj.shape = None
+        obj.dtype = None
+    return obj
+
+
+register_pytree_node(SumOperator, _sum_flatten, _sum_unflatten)
+
+
+class ProductOperator(LinearOperator):
+    """A @ B (applied right-to-left)."""
+
+    def __init__(self, a: LinearOperator, b: LinearOperator):
+        assert a.shape[1] == b.shape[0]
+        self.a, self.b = a, b
+        self.shape = (a.shape[0], b.shape[1])
+        self.dtype = jnp.promote_types(a.dtype, b.dtype)
+
+    def mv(self, x):
+        return self.a.mv(self.b.mv(x))
+
+    def rmv(self, x):
+        return self.b.rmv(self.a.rmv(x))
+
+    def cmv(self, x):
+        return self.a.cmv(self.b.cmv(x))
+
+    def hmv(self, x):
+        return self.b.hmv(self.a.hmv(x))
+
+
+def _prod_flatten(op):
+    return (op.a, op.b), None
+
+
+def _prod_unflatten(_, children):
+    obj = object.__new__(ProductOperator)
+    obj.a, obj.b = children
+    try:
+        obj.shape = (obj.a.shape[0], obj.b.shape[1])
+        obj.dtype = jnp.promote_types(obj.a.dtype, obj.b.dtype)
+    except (AttributeError, TypeError):
+        obj.shape = None
+        obj.dtype = None
+    return obj
+
+
+register_pytree_node(ProductOperator, _prod_flatten, _prod_unflatten)
+
+
+def aslinearoperator(A, **kw) -> LinearOperator:
+    """Coerce an array / callable / operator into a LinearOperator."""
+    if isinstance(A, LinearOperator):
+        return A
+    if callable(A):
+        if "n" not in kw:
+            raise ValueError("matrix-free operator requires n=")
+        return MatrixFreeOperator(A, **kw)
+    arr = np.asarray(A)
+    if arr.ndim != 2:
+        raise ValueError(f"expected 2-D array, got shape {arr.shape}")
+    return DenseOperator(arr)

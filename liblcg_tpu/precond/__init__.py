@@ -1,0 +1,33 @@
+"""Preconditioners: Jacobi/SSOR (device) and IC/ILU (host factorization,
+level-scheduled device application).
+
+Reference layer: ``preconditioner*.h/.cpp`` (L3).  Design fact preserved
+from the reference (SURVEY §1): preconditioner *application* is an operator
+passed into the solver (the ``Mfp`` callback), while *factorization* is a
+library helper the user calls once — the iteration engines never factorize.
+"""
+
+from .jacobi import JacobiPreconditioner, SSORPreconditioner
+from .incomplete import (
+    IncompleteFactorization,
+    incomplete_cholesky,
+    incomplete_lu,
+)
+from .triangular import (
+    LevelSchedule,
+    TriangularPreconditioner,
+    level_schedule,
+    triangular_solve,
+)
+
+__all__ = [
+    "JacobiPreconditioner",
+    "SSORPreconditioner",
+    "IncompleteFactorization",
+    "incomplete_cholesky",
+    "incomplete_lu",
+    "LevelSchedule",
+    "TriangularPreconditioner",
+    "level_schedule",
+    "triangular_solve",
+]

@@ -1,0 +1,253 @@
+"""Top-level dispatch: one ``solve()`` for every method in both domains.
+
+Replaces the reference's three real dispatchers (``lcg_solver`` /
+``lcg_solver_preconditioned`` / ``lcg_solver_constrained``,
+``src/lib/lcg.cpp:59-140``) and the complex ``clcg_solver`` family
+(clcg.cpp:46-74, clcg_eigen.cpp:47-96) with a single jitted entry point.
+Method names accept both the short form ("cg", "bicgstab2", ...) and the
+reference enum spellings ("LCG_CG", "CLCG_TFQMR", ... — the strings
+``lcg_select_solver`` recognises, util.cpp:39-51 / :157-166).
+
+The compiled solve is cached per (method, params, operator structure): the
+parameters dataclass is static jit metadata, mirroring how the reference
+bakes ``lcg_para`` into each call.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from .operators import LinearOperator, aslinearoperator
+from .solvers import cplx as _cplx
+from .solvers import real as _real
+from .types import DEFAULT_PARAMS, SolverParams, SolveResult, Status
+
+#: method name -> (module domain, function, needs_M, needs_bounds)
+_REAL_METHODS = {
+    "cg": (_real.cg, False, False),
+    "pcg": (_real.pcg, True, False),
+    "cgs": (_real.cgs, False, False),
+    "bicgstab": (_real.bicgstab, False, False),
+    "bicgstab2": (_real.bicgstab2, False, False),
+    "pg": (_real.pg, False, True),
+    "spg": (_real.spg, False, True),
+}
+_CPLX_METHODS = {
+    "bicg": (_cplx.bicg, False, False),
+    "bicg_sym": (_cplx.bicg_sym, False, False),
+    "cgs": (_cplx.cgs, False, False),
+    "bicgstab": (_cplx.bicgstab, False, False),
+    "tfqmr": (_cplx.tfqmr, False, False),
+    "pcg": (_cplx.pcg, True, False),
+    "pbicg": (_cplx.pbicg, True, False),
+}
+
+#: Reference enum spellings (util.cpp:39-51, :157-166) -> short names.
+_ALIASES = {
+    "LCG_CG": "cg",
+    "LCG_PCG": "pcg",
+    "LCG_CGS": "cgs",
+    "LCG_BICGSTAB": "bicgstab",
+    "LCG_BICGSTAB2": "bicgstab2",
+    "LCG_PG": "pg",
+    "LCG_SPG": "spg",
+    "CLCG_BICG": "bicg",
+    "CLCG_BICG_SYM": "bicg_sym",
+    "CLCG_CGS": "cgs",
+    "CLCG_BICGSTAB": "bicgstab",
+    "CLCG_TFQMR": "tfqmr",
+    "CLCG_PCG": "pcg",
+    "CLCG_PBICG": "pbicg",
+}
+
+REAL_METHODS = tuple(_REAL_METHODS)
+COMPLEX_METHODS = tuple(_CPLX_METHODS)
+
+
+def canonical_method(method: str) -> str:
+    """Resolve a method name or reference enum spelling to its short name."""
+    m = _ALIASES.get(method, method).lower()
+    if m not in _REAL_METHODS and m not in _CPLX_METHODS:
+        raise ValueError(
+            f"unknown solver {method!r}; real methods: {sorted(_REAL_METHODS)}, "
+            f"complex methods: {sorted(_CPLX_METHODS)}"
+        )
+    return m
+
+
+_JIT_CACHE: dict = {}
+
+
+def _compiled_solver(fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key):
+    """jit-compile (and cache) one solver configuration.
+
+    The cache key captures everything static: the engine function, the
+    parameter struct (hashable dataclass), the monitor callable, and which
+    optional operands the engine takes.  Repeated solves with the same
+    configuration and shapes then hit XLA's compiled-executable cache — the
+    analogue of the reference reusing caller-owned scratch vectors across
+    repeated solves (lcg.h:116-137), but for compilations.
+    """
+    cache_key = (fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key)
+    cached = _JIT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
+    def run(A, b, x0, *extras):
+        kwargs = dict(params=params, monitor=monitor, trace_len=trace_len)
+        i = 0
+        if needs_M:
+            kwargs["M"] = extras[i]
+            i += 1
+        if needs_bounds:
+            kwargs["lower"] = extras[i]
+            kwargs["upper"] = extras[i + 1]
+            i += 2
+        if takes_key:
+            kwargs["key"] = extras[i]
+        return fn(A, b, x0, **kwargs)
+
+    jitted = jax.jit(run)
+    _JIT_CACHE[cache_key] = jitted
+    return jitted
+
+
+def _error_result(x, status: Status) -> SolveResult:
+    return SolveResult(
+        x=x,
+        status_code=jnp.asarray(int(status), jnp.int32),
+        iterations=jnp.asarray(0, jnp.int32),
+        residual=jnp.asarray(jnp.nan),
+        trace=None,
+    )
+
+
+def solve(
+    A: Union[LinearOperator, jnp.ndarray, Callable],
+    b,
+    x0=None,
+    *,
+    method: str = "cg",
+    params: SolverParams = DEFAULT_PARAMS,
+    M=None,
+    lower=None,
+    upper=None,
+    monitor: Optional[Callable] = None,
+    trace_len: int = 0,
+    key=None,
+    check: bool = False,
+) -> SolveResult:
+    """Solve ``A x = b`` with the selected Krylov method.
+
+    Parameters
+    ----------
+    A : LinearOperator | 2-D array | callable
+        The system operator.  Arrays are wrapped in ``DenseOperator``;
+        callables must also pass ``n=`` via ``aslinearoperator`` first.
+    b : 1-D array — right-hand side.
+    x0 : optional initial guess (reference semantics: the in/out ``m``
+        vector, lcg.h:61; defaults to zeros).
+    method : solver name (short or reference enum spelling).  Complexity of
+        ``b`` (or the operator dtype) picks the domain for the ambiguous
+        names ("cgs", "bicgstab", "pcg").
+    params : SolverParams — static under jit.
+    M : preconditioner (operator or callable applying M^{-1}) for pcg/pbicg.
+    lower, upper : box bounds for pg/spg.
+    monitor : optional traced callback ``(x, residual, t) -> bool``; a True
+        return stops the solve with Status.STOP (reference Pfp contract,
+        lcg.h:53-54).
+    trace_len : if > 0, record the first ``trace_len`` residuals.
+    key : PRNG key for the complex CGS/BiCGSTAB/TFQMR shadow residual.
+    check : if True, raise LcgError on failure statuses.
+    """
+    m = canonical_method(method)
+    b = jnp.asarray(b)
+    A = aslinearoperator(A, n=b.shape[0], dtype=b.dtype) if not isinstance(
+        A, LinearOperator
+    ) else A
+
+    is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
+        jnp.dtype(A.dtype), jnp.complexfloating
+    )
+    table = _CPLX_METHODS if is_complex else _REAL_METHODS
+    if m not in table:
+        dom = "complex" if is_complex else "real"
+        raise ValueError(f"method {m!r} is not available in the {dom} domain")
+    fn, needs_M, needs_bounds = table[m]
+
+    # Parameter validation (reference entry checks, lcg.cpp:150-155 etc.).
+    err = params.validate(for_method=m)
+    if err is not None:
+        return _error_result(jnp.zeros_like(b) if x0 is None else x0, err)
+    if needs_M and M is None:
+        return _error_result(
+            jnp.zeros_like(b) if x0 is None else x0,
+            Status.NULL_PRECONDITION_MATRIX,
+        )
+    if needs_bounds and (lower is None or upper is None):
+        return _error_result(
+            jnp.zeros_like(b) if x0 is None else x0, Status.INVALID_POINTER
+        )
+    if b.ndim != 1:
+        return _error_result(b, Status.INVALID_VARIABLE_SIZE)
+    if x0 is not None and jnp.shape(x0) != jnp.shape(b):
+        return _error_result(b, Status.SIZE_NOT_MATCH)
+
+    takes_key = is_complex and m in ("cgs", "bicgstab", "tfqmr")
+    jitted = _compiled_solver(fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key)
+
+    x0_arr = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+    extras = []
+    if needs_M:
+        extras.append(M)
+    if needs_bounds:
+        extras.append(jnp.asarray(lower, dtype=b.real.dtype))
+        extras.append(jnp.asarray(upper, dtype=b.real.dtype))
+    if takes_key:
+        extras.append(jax.random.PRNGKey(1234) if key is None else key)
+
+    carry = jitted(A, b, x0_arr, *extras)
+
+    result = SolveResult(
+        x=carry["x"],
+        status_code=carry["status"],
+        iterations=carry["t"],
+        residual=carry["residual"],
+        trace=carry.get("trace"),
+    )
+    if check:
+        from .utils.errors import check_status
+
+        check_status(result.status_code, raise_error=True, quiet=True)
+    return result
+
+
+# Compatibility shims matching the reference dispatcher names -----------------
+
+
+def lcg_solver(A, b, x0=None, method="cg", params=DEFAULT_PARAMS, **kw):
+    """Analogue of ``lcg_solver`` (lcg.cpp:59-82)."""
+    return solve(A, b, x0, method=method, params=params, **kw)
+
+
+def lcg_solver_preconditioned(A, M, b, x0=None, params=DEFAULT_PARAMS, **kw):
+    """Analogue of ``lcg_solver_preconditioned`` (lcg.cpp:87-91): always PCG."""
+    return solve(A, b, x0, method="pcg", M=M, params=params, **kw)
+
+
+def lcg_solver_constrained(
+    A, b, lower, upper, x0=None, method="spg", params=DEFAULT_PARAMS, **kw
+):
+    """Analogue of ``lcg_solver_constrained`` (lcg.cpp:121-140): PG or SPG."""
+    return solve(
+        A, b, x0, method=method, lower=lower, upper=upper, params=params, **kw
+    )
+
+
+def clcg_solver(A, b, x0=None, method="bicg", params=DEFAULT_PARAMS, **kw):
+    """Analogue of ``clcg_solver`` (clcg.cpp:46-74)."""
+    return solve(A, b, x0, method=method, params=params, **kw)
