@@ -57,6 +57,14 @@ from .precond import (
 )
 from .utils.errors import LcgError, check_status, status_message
 from .utils import io
+from . import parallel
+from .parallel import (
+    Laplacian3DOperator,
+    ShardedLaplacian3D,
+    ShardedSparseOperator,
+    make_mesh,
+    solve_sharded,
+)
 
 __version__ = "0.1.0"
 
@@ -91,4 +99,10 @@ __all__ = [
     "check_status",
     "status_message",
     "io",
+    "parallel",
+    "ShardedSparseOperator",
+    "ShardedLaplacian3D",
+    "Laplacian3DOperator",
+    "make_mesh",
+    "solve_sharded",
 ]

@@ -1,0 +1,35 @@
+"""Multi-chip / multi-host scaling layer.
+
+The reference library has **no distributed code whatsoever** (SURVEY §2.9:
+no MPI/NCCL/sockets anywhere in the tree; parallelism is OpenMP threads or a
+single GPU).  This package is the new first-class component the TPU build
+adds: solves run as SPMD programs over a ``jax.sharding.Mesh``, with
+
+- the operator row-partitioned over the mesh (``ShardedSparseOperator``) or
+  domain-decomposed (``ShardedLaplacian3D``),
+- the solution/residual/direction vectors carried as local shards inside one
+  compiled ``lax.while_loop``,
+- per-iteration dot products reduced with ``lax.psum`` over ICI (adjacent
+  reductions coalesce into one collective),
+- operator communication as ``all_gather`` (general sparsity) or one-hop
+  ``ppermute`` halo exchange (banded sparsity / stencils), overlapped with
+  local compute by the XLA scheduler.
+
+Every solver in :mod:`liblcg_tpu.solvers` works unchanged: the engines'
+reductions are mesh-aware through :func:`harness.distributed`.
+"""
+
+from .mesh import make_mesh, initialize_distributed
+from .sharded import ShardedSparseOperator
+from .stencil import Laplacian3DOperator, ShardedLaplacian3D
+from .api import solve_sharded, shard_system
+
+__all__ = [
+    "make_mesh",
+    "initialize_distributed",
+    "ShardedSparseOperator",
+    "Laplacian3DOperator",
+    "ShardedLaplacian3D",
+    "solve_sharded",
+    "shard_system",
+]

@@ -1,0 +1,246 @@
+"""SPMD solve entry point: any solver, any mesh, one compiled program.
+
+``solve_sharded`` wraps the same engines :func:`liblcg_tpu.solve` dispatches
+to, but traces them inside ``jax.shard_map`` over the solver mesh with the
+harness in distributed mode: every vector in the while-loop carry is a local
+row shard, every reduction a ``psum`` over the mesh axis, and the operator's
+``mv`` performs its own halo/all-gather communication.  The whole solve is
+still ONE compiled XLA program — the multi-chip upgrade costs no extra
+host-device round trips.
+
+The reference has no counterpart for any of this (SURVEY §2.9: its only
+parallelism is OpenMP threads or one GPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..operators import LinearOperator, MatrixFreeOperator
+from ..solvers import harness as H
+from ..types import DEFAULT_PARAMS, SolverParams, SolveResult, Status
+from .mesh import make_mesh
+from .sharded import ShardedSparseOperator
+
+#: Carry entries that stay replicated even though they are rank-1 arrays.
+_REPLICATED_KEYS = frozenset({"trace", "qk_m"})
+
+
+def _pad_to(v, n_padded, fill=0.0):
+    v = jnp.asarray(v)
+    if v.shape[0] == n_padded:
+        return v
+    pad = n_padded - v.shape[0]
+    return jnp.concatenate([v, jnp.full((pad,), fill, dtype=v.dtype)])
+
+
+def _leaf_spec(leaf, n_padded: int, axis: str):
+    """Row-sharded spec for (n_padded, ...) array leaves, replicated else."""
+    try:
+        shp = leaf.shape
+    except AttributeError:
+        return P()
+    if len(shp) >= 1 and shp[0] == n_padded:
+        return P(axis, *([None] * (len(shp) - 1)))
+    return P()
+
+
+def _carry_specs(fn, A_struct_op, b_dtype, n_local, axis, kwargs):
+    """Derive the carry pytree's out_specs by eval-shaping the *plain*
+    (single-device) solver — the carry structure is identical, and scalars/
+    vectors are told apart by rank (with the two named replicated-array
+    exceptions)."""
+    nl = max(n_local, 2)
+    b_s = jax.ShapeDtypeStruct((nl,), b_dtype)
+
+    def run(b):
+        return fn(A_struct_op, b, b, **kwargs)
+
+    shapes = jax.eval_shape(run, b_s)
+
+    def spec_of(key, leaf):
+        if key in _REPLICATED_KEYS or leaf is None or leaf.ndim == 0:
+            return P()
+        return P(axis)
+
+    return {k: spec_of(k, v) for k, v in shapes.items()}, set(shapes.keys())
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def solve_sharded(
+    A: ShardedSparseOperator,
+    b,
+    x0=None,
+    *,
+    method: str = "cg",
+    mesh: Optional[Mesh] = None,
+    params: SolverParams = DEFAULT_PARAMS,
+    M=None,
+    lower=None,
+    upper=None,
+    monitor: Optional[Callable] = None,
+    trace_len: int = 0,
+    key=None,
+    check: bool = False,
+) -> SolveResult:
+    """Solve ``A x = b`` SPMD over a device mesh.
+
+    Parameters mirror :func:`liblcg_tpu.solve`; differences:
+
+    - ``A`` must be a mesh-aware operator (``ShardedSparseOperator``,
+      ``ShardedLaplacian3D``, or any LinearOperator pytree whose ``mv``
+      maps local shards to local shards and whose array leaves are either
+      ``(n_padded, ...)`` row-shardable or replicated);
+    - ``mesh`` defaults to a fresh 1-D mesh over ``A.n_devices`` devices;
+    - ``M`` may be a diagonal-style operator with ``(n_padded,)`` leaves
+      (sharded) or a callable applied shard-locally (block-Jacobi style);
+    - ``monitor`` receives the *local shard* of x (residual/t are global).
+    """
+    from ..solve import _CPLX_METHODS, _REAL_METHODS, canonical_method
+
+    m = canonical_method(method)
+    b = jnp.asarray(b)
+    is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
+        jnp.dtype(A.dtype), jnp.complexfloating
+    )
+    table = _CPLX_METHODS if is_complex else _REAL_METHODS
+    if m not in table:
+        dom = "complex" if is_complex else "real"
+        raise ValueError(f"method {m!r} is not available in the {dom} domain")
+    fn, needs_M, needs_bounds = table[m]
+
+    err = params.validate(for_method=m)
+    if err is not None:
+        return SolveResult(
+            x=b * 0, status_code=jnp.asarray(int(err), jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32), residual=jnp.asarray(jnp.nan),
+            trace=None,
+        )
+
+    axis = A.axis_name
+    D = A.n_devices
+    n = getattr(A, "n", b.shape[0])
+    n_padded = A.n_padded
+    n_local = n_padded // D
+    if mesh is None:
+        mesh = make_mesh(D, axis)
+    if mesh.shape[axis] != D:
+        raise ValueError(
+            f"mesh axis {axis!r} has size {mesh.shape[axis]}, operator "
+            f"was partitioned for {D}"
+        )
+
+    if is_complex and not jnp.issubdtype(b.dtype, jnp.complexfloating):
+        b = b.astype(A.dtype)
+    bp = _pad_to(b, n_padded)
+    x0p = (
+        jnp.zeros_like(bp)
+        if x0 is None
+        else _pad_to(jnp.asarray(x0, dtype=bp.dtype), n_padded)
+    )
+
+    takes_key = is_complex and m in ("cgs", "bicgstab", "tfqmr")
+
+    # Assemble positional extras and their in_specs.
+    extras = []
+    extra_specs = []
+    M_is_callable = needs_M and not isinstance(M, LinearOperator)
+    if needs_M:
+        if M is None:
+            return SolveResult(
+                x=b * 0,
+                status_code=jnp.asarray(int(Status.NULL_PRECONDITION_MATRIX), jnp.int32),
+                iterations=jnp.asarray(0, jnp.int32),
+                residual=jnp.asarray(jnp.nan), trace=None,
+            )
+        if not M_is_callable:
+            extras.append(M)
+            extra_specs.append(
+                jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis), M)
+            )
+    if needs_bounds:
+        rdt = bp.real.dtype
+        extras.append(_pad_to(jnp.asarray(lower, dtype=rdt), n_padded))
+        extras.append(_pad_to(jnp.asarray(upper, dtype=rdt), n_padded))
+        extra_specs.extend([P(axis), P(axis)])
+    if takes_key:
+        extras.append(jax.random.PRNGKey(1234) if key is None else key)
+        extra_specs.append(P())
+
+    solver_kwargs = dict(params=params, monitor=monitor, trace_len=trace_len)
+
+    # Carry structure for out_specs (same keys as the sharded run).
+    struct_kwargs = dict(solver_kwargs)
+    if needs_M:
+        struct_kwargs["M"] = (lambda v: v)
+    if needs_bounds:
+        nl = max(n_local, 2)
+        struct_kwargs["lower"] = jnp.zeros((nl,), bp.real.dtype)
+        struct_kwargs["upper"] = jnp.ones((nl,), bp.real.dtype)
+    if takes_key:
+        struct_kwargs["key"] = jax.random.PRNGKey(0)
+    dummy_A = MatrixFreeOperator(
+        lambda v: v, n=max(n_local, 2), dtype=bp.dtype
+    )
+    out_specs, carry_keys = _carry_specs(
+        fn, dummy_A, bp.dtype, n_local, axis, struct_kwargs
+    )
+
+    A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis), A)
+    in_specs = (A_specs, P(axis), P(axis), *extra_specs)
+
+    def body(A_l, b_l, x0_l, *extras_l):
+        kwargs = dict(solver_kwargs)
+        i = 0
+        if needs_M:
+            if M_is_callable:
+                kwargs["M"] = M
+            else:
+                kwargs["M"] = extras_l[i]
+                i += 1
+        if needs_bounds:
+            kwargs["lower"] = extras_l[i]
+            kwargs["upper"] = extras_l[i + 1]
+            i += 2
+        if takes_key:
+            # Decorrelate the shadow-residual draw across shards.
+            kwargs["key"] = jax.random.fold_in(extras_l[i], lax.axis_index(axis))
+        with H.distributed(axis, logical_dim=n):
+            return fn(A_l, b_l, x0_l, **kwargs)
+
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+    )
+    carry = jax.jit(mapped)(A, bp, x0p, *extras)
+
+    x = carry["x"][:n]
+    result = SolveResult(
+        x=x,
+        status_code=carry["status"],
+        iterations=carry["t"],
+        residual=carry["residual"],
+        trace=carry.get("trace"),
+    )
+    if check:
+        from ..utils.errors import check_status
+
+        check_status(result.status_code, raise_error=True, quiet=True)
+    return result
+
+
+def shard_system(system, *, n_devices: Optional[int] = None, **kw):
+    """Convenience: (ShardedSparseOperator, padded-compatible b) from a
+    :class:`liblcg_tpu.utils.io.LinearSystem`."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    op = ShardedSparseOperator.from_system(system, n_devices=n_devices, **kw)
+    return op, jnp.asarray(system.b)

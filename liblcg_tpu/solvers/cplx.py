@@ -76,7 +76,7 @@ def bicg(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
     Reference: ``clbicg`` clcg.cpp:77-226; the dual product is A^H d2
     (callback mode (MatTranspose, Conjugate), clcg.cpp:188)."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
 
     Ax = A.mv(x)
     r1k = b - Ax
@@ -138,7 +138,7 @@ def bicg_sym(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0)
     with unconjugated inner products.  Reference: ``clbicg_symmetric``
     clcg.cpp:228-364 (``clcg_dot`` at :259, :320, :345)."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
 
     Ax = A.mv(x)
     rk = b - Ax
@@ -191,7 +191,7 @@ def cgs(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, key=
     """Complex CGS with random shadow residual.  Reference: ``clcgs``
     clcg.cpp:366-522."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
 
     Ax = A.mv(x)
     rk = b - Ax
@@ -255,7 +255,7 @@ def bicgstab(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0,
     ``clbicgstab`` clcg.cpp:524-679 (native only — the Eigen dispatcher
     rejects it, clcg_eigen.cpp:51-67)."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
 
     Ax = A.mv(x)
     rk = b - Ax
@@ -323,7 +323,7 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
     The half steps and mid-loop exits require a custom loop body.
     """
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
     max_iter = params.effective_max_iterations()
     eps = params.epsilon
     rdt = b.real.dtype
@@ -479,7 +479,7 @@ def pcg(A, b, x0=None, *, M, params=SolverParams(), monitor=None, trace_len=0):
     ``d_new = rk.conjugate().dot(zk)`` (:598) — Eigen's conjugated .dot on a
     pre-conjugated vector, i.e. the plain unconjugated sum rk_i zk_i."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
     apply_M = M.mv if hasattr(M, "mv") else M
 
     Ax = A.mv(x)
@@ -536,7 +536,7 @@ def pbicg(A, b, x0=None, *, M, params=SolverParams(), monitor=None, trace_len=0)
     ``clpbicg`` clcg_eigen.cpp:685-801; the dual product is conj(A) psk
     (callback mode (MatNormal, Conjugate), :765)."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
     apply_M = M.mv if hasattr(M, "mv") else M
 
     Ax = A.mv(x)

@@ -22,6 +22,7 @@ SPG's inner backtracking) build their own loops from the same helpers.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -31,6 +32,59 @@ from jax import lax
 from ..types import SolverParams, Status
 
 Carry = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# Distributed context
+#
+# When a solver is traced inside ``shard_map`` over a device mesh, every
+# vector in its carry is a *local row shard* and every reduction must become
+# a global one.  Rather than duplicating all 14 engines, the reduction
+# helpers below consult a tracing-time context: ``with distributed("rows")``
+# makes sq_norm/dot_u/dot_c/has_nan emit a ``lax.psum`` over the named mesh
+# axis, and ``dim(v)`` report the *global* vector length.  This is the
+# fused-reduction design of SURVEY §2.9: each iteration's adjacent dot
+# products become psums over ICI that XLA coalesces.
+# ---------------------------------------------------------------------------
+
+_DIST_AXIS: list = []
+
+
+@contextlib.contextmanager
+def distributed(axis_name: str, logical_dim: Optional[int] = None):
+    """Trace the enclosed solver as an SPMD program over mesh axis
+    ``axis_name`` (vectors = local shards, reductions = psums).
+
+    ``logical_dim`` is the true system size when rows were padded up to a
+    multiple of the mesh size — the stopping metrics divide by it
+    (lcg.cpp:186 divides by the user's N, not a padded N).
+    """
+    _DIST_AXIS.append((axis_name, logical_dim))
+    try:
+        yield
+    finally:
+        _DIST_AXIS.pop()
+
+
+def dist_axis() -> Optional[str]:
+    """The active mesh axis name, or None when tracing single-device."""
+    return _DIST_AXIS[-1][0] if _DIST_AXIS else None
+
+
+def _allreduce(s: jnp.ndarray) -> jnp.ndarray:
+    ax = dist_axis()
+    return lax.psum(s, ax) if ax is not None else s
+
+
+def dim(v: jnp.ndarray) -> int:
+    """Global logical length of solve vector ``v`` (static).  Inside a
+    distributed context: the declared logical dim, else local shard length
+    times the mesh axis size."""
+    if _DIST_AXIS:
+        ax, logical = _DIST_AXIS[-1]
+        if logical is not None:
+            return logical
+        return v.shape[0] * lax.psum(1, ax)
+    return v.shape[0]
 
 
 def real_residual(r_sq: jnp.ndarray, x_sq: jnp.ndarray, n: int, abs_diff: bool):
@@ -62,31 +116,37 @@ def complex_residual(r_sq: jnp.ndarray, x_sq: jnp.ndarray, n: int, abs_diff: boo
 
 
 def sq_norm(v: jnp.ndarray) -> jnp.ndarray:
-    """||v||^2 as a real scalar (complex-safe)."""
+    """||v||^2 as a real scalar (complex-safe; global when distributed)."""
     if jnp.issubdtype(v.dtype, jnp.complexfloating):
-        return jnp.sum(v.real * v.real + v.imag * v.imag)
-    return jnp.sum(v * v)
+        return _allreduce(jnp.sum(v.real * v.real + v.imag * v.imag))
+    return _allreduce(jnp.sum(v * v))
 
 
 def dot_u(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Unconjugated dot  sum_i a_i b_i  (reference ``clcg_dot``,
     lcg_complex.cpp:143-154; for real vectors equals ``lcg_dot``)."""
-    return jnp.sum(a * b)
+    return _allreduce(jnp.sum(a * b))
 
 
 def dot_c(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Conjugated inner product  sum_i conj(a_i) b_i  (reference
     ``clcg_inner``, lcg_complex.cpp:156-167)."""
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
-        return jnp.sum(jnp.conj(a) * b)
-    return jnp.sum(a * b)
+        return _allreduce(jnp.sum(jnp.conj(a) * b))
+    return _allreduce(jnp.sum(a * b))
 
 
 def has_nan(x: jnp.ndarray) -> jnp.ndarray:
-    """Reference NaN scan ``m[i] != m[i]`` (lcg.cpp:247-253)."""
+    """Reference NaN scan ``m[i] != m[i]`` (lcg.cpp:247-253); global when
+    distributed (any shard's NaN fails the solve everywhere, in lockstep)."""
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        return jnp.any(jnp.isnan(x.real) | jnp.isnan(x.imag))
-    return jnp.any(jnp.isnan(x))
+        local = jnp.any(jnp.isnan(x.real) | jnp.isnan(x.imag))
+    else:
+        local = jnp.any(jnp.isnan(x))
+    ax = dist_axis()
+    if ax is not None:
+        return lax.psum(local.astype(jnp.int32), ax) > 0
+    return local
 
 
 def init_trace(trace_len: int, dtype=jnp.float64):

@@ -33,7 +33,7 @@ def cg(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
     """Conjugate gradient (Hestenes–Stiefel).  Reference: ``lcg``
     lcg.cpp:143-274; 1 operator product and 2 reductions per iteration."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
 
     Ax = A.mv(x)
     gk = Ax - b          # lcg.cpp:174 (gradient convention: g = Ax - B)
@@ -86,7 +86,7 @@ def pcg(A, b, x0=None, *, M, params=SolverParams(), monitor=None, trace_len=0):
     """Preconditioned CG (Kaasschieter 1988 alg. 1).  Reference: ``lpcg``
     lcg.cpp:293-434.  ``M`` is a callable or operator applying M^{-1}."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
     apply_M = M.mv if hasattr(M, "mv") else M
 
     Ax = A.mv(x)
@@ -146,7 +146,7 @@ def cgs(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
     lcg.cpp:437-612; 2 operator products per iteration, fixed shadow
     residual r0_T = r0 (lcg.cpp:483)."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
 
     Ax = A.mv(x)
     rk = b - Ax
@@ -209,7 +209,7 @@ def bicgstab(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0)
     """BiCGSTAB (van der Vorst).  Reference: ``lbicgstab`` lcg.cpp:629-794;
     2 operator products per iteration, omega = (As.s)/(As.As)."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
 
     Ax = A.mv(x)
     rk = b - Ax
@@ -282,7 +282,7 @@ def bicgstab2(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0
     its loop body; stopping semantics are otherwise identical.
     """
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
     max_iter = params.effective_max_iterations()
     eps = params.epsilon
 
@@ -454,7 +454,7 @@ def pg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, trac
     lcg.cpp:1054-1204 (the *native* version; the CUDA version's gradient
     update bugs at lcg_cuda.cu:681-703 are intentionally not replicated)."""
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
     lower = jnp.asarray(lower, dtype=b.dtype)
     upper = jnp.asarray(upper, dtype=b.dtype)
 
@@ -514,7 +514,7 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, tra
     step reduction below 2e-3 — far past where the reference would accept).
     """
     A, b, x = _prep(A, b, x0)
-    n = b.shape[0]
+    n = H.dim(b)  # global length (psum-aware when sharded)
     lower = jnp.asarray(lower, dtype=b.dtype)
     upper = jnp.asarray(upper, dtype=b.dtype)
     maxi_m = params.maxi_m

@@ -7,7 +7,11 @@ recipe for testing pjit/shard_map code without a pod).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session environment pins another platform (a TPU
+# tunnel exposes a single chip; the sharding tests need 8 devices).  The
+# environment may import jax before this conftest runs, so set the config
+# directly as well — backends are only instantiated on first use.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,8 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

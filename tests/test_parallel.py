@@ -1,0 +1,179 @@
+"""SPMD solve tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed code to mirror (SURVEY §2.9); these tests
+validate the new multi-chip layer against the single-device engines:
+sharded solves must match iteration-for-iteration (same recurrence, psum'd
+reductions) and converge to the same solution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import liblcg_tpu as lcg
+from liblcg_tpu.parallel import (
+    Laplacian3DOperator,
+    ShardedLaplacian3D,
+    ShardedSparseOperator,
+    make_mesh,
+    solve_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def banded_system():
+    """SPD banded system with n not divisible by the mesh size (padding)."""
+    rng = np.random.default_rng(0)
+    n = 203
+    main = 4.0 + rng.uniform(0, 1, n)
+    off = rng.uniform(-1, 1, n - 1)
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([main, off, off])
+    x_true = rng.uniform(1, 2, n)
+    b = np.zeros(n)
+    np.add.at(b, rows, vals * x_true[cols])
+    return n, rows, cols, vals, b, x_true
+
+
+PARAMS = lcg.SolverParams(epsilon=1e-12)
+
+
+@pytest.mark.parametrize("comm", ["allgather", "halo"])
+def test_sharded_cg_matches_single_device(banded_system, comm):
+    n, rows, cols, vals, b, x_true = banded_system
+    ref = lcg.solve(lcg.SparseOperator(n, n, rows, cols, vals), b, params=PARAMS)
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8, comm=comm)
+    assert A.comm == comm
+    res = solve_sharded(A, b, method="cg", params=PARAMS)
+    assert res.converged
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+
+
+def test_auto_comm_picks_halo_for_banded(banded_system):
+    n, rows, cols, vals, _, _ = banded_system
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8, comm="auto")
+    assert A.comm == "halo"
+    assert A.halo == (1, 1)
+
+
+def test_sharded_pcg_jacobi(banded_system):
+    n, rows, cols, vals, b, x_true = banded_system
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8)
+    M = lcg.JacobiPreconditioner(A)
+    res = solve_sharded(A, b, method="pcg", M=M, params=PARAMS)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["cgs", "bicgstab", "bicgstab2"])
+def test_sharded_other_real_methods(banded_system, method):
+    n, rows, cols, vals, b, x_true = banded_system
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8)
+    res = solve_sharded(A, b, method=method, params=PARAMS)
+    assert res.converged, f"{method}: {res.status}"
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
+
+
+def test_sharded_constrained_pg(banded_system):
+    n, rows, cols, vals, b, x_true = banded_system
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8)
+    res = solve_sharded(
+        A, b, method="pg",
+        lower=np.full(n, 1.0), upper=np.full(n, 2.0),
+        params=lcg.SolverParams(epsilon=1e-10, max_iterations=3000),
+    )
+    assert res.converged
+    x = np.asarray(res.x)
+    assert np.all(x >= 1.0 - 1e-10) and np.all(x <= 2.0 + 1e-10)
+    np.testing.assert_allclose(x, x_true, atol=5e-2)
+
+
+def test_sharded_complex_bicg_exercises_hmv():
+    rng = np.random.default_rng(7)
+    n = 96
+    M = rng.uniform(-1, 1, (n, n)) + 1j * rng.uniform(-1, 1, (n, n))
+    Ad = (M + M.T) / 2 + (3.0 + 0.5j) * np.eye(n)
+    rows, cols = np.nonzero(Ad)
+    vals = Ad[rows, cols]
+    x_true = rng.uniform(1, 2, n) + 1j * rng.uniform(-1, 1, n)
+    b = Ad @ x_true
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8)
+    res = solve_sharded(A, b, method="bicg", params=lcg.SolverParams(epsilon=1e-20))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
+
+
+def test_sharded_complex_cgs_shadow_residual():
+    rng = np.random.default_rng(9)
+    n = 80
+    M = rng.uniform(-1, 1, (n, n)) + 1j * rng.uniform(-1, 1, (n, n))
+    Ad = (M + M.T) / 2 + (3.0 + 0.5j) * np.eye(n)
+    rows, cols = np.nonzero(Ad)
+    x_true = rng.uniform(1, 2, n) + 1j * rng.uniform(-1, 1, n)
+    b = Ad @ x_true
+    A = ShardedSparseOperator(n, rows, cols, Ad[rows, cols], n_devices=8)
+    res = solve_sharded(A, b, method="cgs", params=lcg.SolverParams(epsilon=1e-20))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
+
+
+def test_stencil_matches_sharded_stencil():
+    nz, ny, nx = 16, 12, 10
+    n = nz * ny * nx
+    rng = np.random.default_rng(3)
+    lap = Laplacian3DOperator(nz, ny, nx, dtype=jnp.float64)
+    x_true = rng.uniform(0, 1, n)
+    b = np.asarray(lap.mv(jnp.asarray(x_true)))
+    ref = lcg.solve(lap, b, params=PARAMS)
+    S = ShardedLaplacian3D(nz, ny, nx, n_devices=8, dtype=jnp.float64)
+    res = solve_sharded(S, b, method="cg", params=PARAMS)
+    assert res.converged
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+
+
+def test_stencil_operator_is_the_laplacian():
+    """The fused pad/shift stencil equals the explicit 7-point matrix."""
+    nz, ny, nx = 5, 4, 3
+    n = nz * ny * nx
+    lap = Laplacian3DOperator(nz, ny, nx, dtype=jnp.float64)
+    dense = np.zeros((n, n))
+    for z in range(nz):
+        for y in range(ny):
+            for x in range(nx):
+                i = (z * ny + y) * nx + x
+                dense[i, i] = 6.0
+                for dz, dy, dx in [(-1, 0, 0), (1, 0, 0), (0, -1, 0),
+                                   (0, 1, 0), (0, 0, -1), (0, 0, 1)]:
+                    zz, yy, xx = z + dz, y + dy, x + dx
+                    if 0 <= zz < nz and 0 <= yy < ny and 0 <= xx < nx:
+                        dense[i, (zz * ny + yy) * nx + xx] = -1.0
+    v = np.random.default_rng(1).normal(size=n)
+    np.testing.assert_allclose(
+        np.asarray(lap.mv(jnp.asarray(v))), dense @ v, atol=1e-12
+    )
+
+
+def test_sharded_monitor_and_trace(banded_system):
+    n, rows, cols, vals, b, _ = banded_system
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8)
+
+    def monitor(x_local, residual, t):
+        return t >= 3
+
+    res = solve_sharded(A, b, method="cg", monitor=monitor, trace_len=16)
+    assert res.status == lcg.Status.STOP
+    assert int(res.iterations) == 3
+    tr = np.asarray(res.trace)
+    assert np.all(tr[:3] > 0)
+
+
+def test_mesh_size_mismatch_raises(banded_system):
+    n, rows, cols, vals, b, _ = banded_system
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=4)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        solve_sharded(A, b, mesh=mesh)
