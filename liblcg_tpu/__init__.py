@@ -28,6 +28,7 @@ from .types import (
     Status,
 )
 from .operators import (
+    BandedOperator,
     DenseOperator,
     LinearOperator,
     MatrixFreeOperator,
@@ -37,6 +38,7 @@ from .operators import (
     SparseOperator,
     SumOperator,
     aslinearoperator,
+    make_sparse_operator,
 )
 from .solve import (
     COMPLEX_METHODS,
@@ -55,6 +57,7 @@ from .precond import (
     incomplete_cholesky,
     incomplete_lu,
 )
+from .solver_class import CLCGSolver, LCGSolver, SolverBase
 from .utils.errors import LcgError, check_status, status_message
 from .utils import io
 from . import parallel
@@ -76,6 +79,8 @@ __all__ = [
     "LinearOperator",
     "DenseOperator",
     "SparseOperator",
+    "BandedOperator",
+    "make_sparse_operator",
     "MatrixFreeOperator",
     "NormalEqOperator",
     "ScaledOperator",
@@ -95,6 +100,9 @@ __all__ = [
     "TriangularPreconditioner",
     "incomplete_cholesky",
     "incomplete_lu",
+    "SolverBase",
+    "LCGSolver",
+    "CLCGSolver",
     "LcgError",
     "check_status",
     "status_message",

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node
 
+from .ops.dia import coo_to_dia, dia_spmv, dia_spmv_transpose
 from .ops.spmv import coo_to_ell, dense_mv, ell_spmv
 
 
@@ -225,6 +226,100 @@ def _sparse_unflatten(aux, children):
 
 
 register_pytree_node(SparseOperator, _sparse_flatten, _sparse_unflatten)
+
+
+class BandedOperator(LinearOperator):
+    """Sparse operator in DIA (diagonal) storage — the gather-free TPU form.
+
+    For matrices whose nonzeros live on few diagonals (stencils, banded
+    systems — the shipped ``data/case_10K_A`` has 19 diagonals), the product
+    is a sum of statically-shifted elementwise multiplies: no index loads,
+    no gathers, one fused bandwidth-bound XLA pass.  Prefer this over
+    :class:`SparseOperator` whenever ``offsets`` is small; the
+    :func:`make_sparse_operator` factory chooses automatically.
+    """
+
+    def __init__(self, n_rows: int, n_cols: int, rows, cols, vals, *, dtype=None):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        if dtype is not None:
+            vals = vals.astype(dtype)
+        self.shape = (n_rows, n_cols)
+        self.dtype = jnp.dtype(vals.dtype)
+        offsets, diag_vals = coo_to_dia(n_rows, n_cols, rows, cols, vals)
+        self.offsets = tuple(int(o) for o in offsets)  # static metadata
+        self.diag_vals = jnp.asarray(diag_vals)
+        self.nnz = int(len(vals))
+
+    def mv(self, x):
+        return dia_spmv(self.offsets, self.diag_vals, x)
+
+    def rmv(self, x):
+        return dia_spmv_transpose(self.offsets, self.diag_vals, x, self.shape[1])
+
+    def cmv(self, x):
+        return dia_spmv(self.offsets, jnp.conj(self.diag_vals), x)
+
+    def hmv(self, x):
+        return dia_spmv_transpose(
+            self.offsets, self.diag_vals, x, self.shape[1], conj=True
+        )
+
+    def diagonal(self):
+        if 0 in self.offsets:
+            return self.diag_vals[self.offsets.index(0)]
+        return jnp.zeros((self.shape[0],), dtype=self.dtype)
+
+    @property
+    def n_diagonals(self) -> int:
+        return len(self.offsets)
+
+
+def _banded_flatten(op):
+    return (op.diag_vals,), (op.shape, str(op.dtype), op.offsets, op.nnz)
+
+
+def _banded_unflatten(aux, children):
+    obj = object.__new__(BandedOperator)
+    (obj.diag_vals,) = children
+    obj.shape, dtype_str, obj.offsets, obj.nnz = aux
+    obj.dtype = jnp.dtype(dtype_str)
+    return obj
+
+
+register_pytree_node(BandedOperator, _banded_flatten, _banded_unflatten)
+
+
+def make_sparse_operator(
+    n_rows: int,
+    n_cols: int,
+    rows,
+    cols,
+    vals,
+    *,
+    format: str = "auto",
+    max_diagonals: int = 96,
+    **kw,
+) -> LinearOperator:
+    """Build the best sparse operator for the given pattern.
+
+    ``format="auto"`` picks DIA when the nonzeros occupy at most
+    ``max_diagonals`` distinct diagonals *and* DIA storage is not wildly
+    larger than ELL (fill ratio check); otherwise padded ELL.
+    """
+    if format not in ("auto", "dia", "ell"):
+        raise ValueError(f"unknown sparse format {format!r}")
+    if format in ("auto", "dia"):
+        off = np.asarray(cols, dtype=np.int64) - np.asarray(rows, dtype=np.int64)
+        n_diags = len(np.unique(off))
+        dia_cells = n_diags * n_rows
+        if format == "dia" or (
+            n_diags <= max_diagonals and dia_cells <= 8 * max(len(np.asarray(vals)), 1)
+        ):
+            return BandedOperator(n_rows, n_cols, rows, cols, vals,
+                                  dtype=kw.get("dtype"))
+    return SparseOperator(n_rows, n_cols, rows, cols, vals, **kw)
 
 
 class MatrixFreeOperator(LinearOperator):

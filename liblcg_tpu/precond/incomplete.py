@@ -95,6 +95,17 @@ def incomplete_cholesky(A, fill: int = 0) -> IncompleteFactorization:
     r, c, v = r[order], c[order], v[order]
     starts = np.searchsorted(r, np.arange(n + 1))
 
+    # Native C++ fast path (falls through to pure Python when no toolchain).
+    from .. import native
+
+    nat = native.ic_factorize(n, r, c, v, fill)
+    if nat is not None:
+        lr, lc, lv = nat
+        return IncompleteFactorization(
+            n=n, l_rows=lr, l_cols=lc, l_vals=lv,
+            u_rows=lc.copy(), u_cols=lr.copy(), u_vals=lv.copy(),
+        )
+
     is_complex = np.iscomplexobj(v)
     dt = v.dtype
     allow_fill = fill > 0
@@ -177,6 +188,16 @@ def incomplete_lu(A, fill: int = 0) -> IncompleteFactorization:
     order = np.lexsort((c, r))
     r, c, v = r[order], c[order], v[order]
     starts = np.searchsorted(r, np.arange(n + 1))
+
+    from .. import native
+
+    nat = native.ilu_factorize(n, r, c, v, fill)
+    if nat is not None:
+        lr, lc, lv, ur, uc, uv = nat
+        return IncompleteFactorization(
+            n=n, l_rows=lr, l_cols=lc, l_vals=lv,
+            u_rows=ur, u_cols=uc, u_vals=uv,
+        )
 
     dt = v.dtype
     allow_fill = fill > 0

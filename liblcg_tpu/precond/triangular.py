@@ -74,45 +74,45 @@ def level_schedule(
     o_cols = cols[~diag_mask]
     o_vals = vals[~diag_mask]
 
-    # Dependency depth per row: level[i] = 1 + max(level[j]) over off-diag
-    # deps j.  Process rows in substitution order so deps are resolved.
-    level = np.zeros(n, dtype=np.int64)
     order = np.argsort(o_rows, kind="stable")
-    o_rows_s, o_cols_s = o_rows[order], o_cols[order]
-    row_order = range(n) if lower else range(n - 1, -1, -1)
-    # Group off-diag entries by row for the host pass.
+    o_rows_s, o_cols_s, o_vals_s = o_rows[order], o_cols[order], o_vals[order]
     starts = np.searchsorted(o_rows_s, np.arange(n + 1))
-    for i in row_order:
-        deps = o_cols_s[starts[i] : starts[i + 1]]
-        if len(deps):
-            level[i] = level[deps].max() + 1
+
+    # Dependency depth per row: level[i] = 1 + max(level[j]) over off-diag
+    # deps j, processed in substitution order.  The chain is sequential —
+    # the native C++ pass handles it when available; Python row scan else.
+    from .. import native
+
+    level = native.level_schedule_levels(n, o_rows_s, o_cols_s, lower)
+    if level is None:
+        level = np.zeros(n, dtype=np.int64)
+        row_order = range(n) if lower else range(n - 1, -1, -1)
+        for i in row_order:
+            deps = o_cols_s[starts[i] : starts[i + 1]]
+            if len(deps):
+                level[i] = level[deps].max() + 1
 
     n_levels = int(level.max()) + 1 if n else 1
     counts = np.bincount(level, minlength=n_levels)
     rows_per_level = int(counts.max())
 
+    # Pack rows into (level, slot) positions — vectorized numpy throughout.
+    order_rows = np.lexsort((np.arange(n), level))
+    level_offsets = np.concatenate([[0], np.cumsum(counts)])
+    slot_sorted = np.arange(n) - level_offsets[level[order_rows]]
     level_rows = np.full((n_levels, rows_per_level), n, dtype=np.int32)
-    slot_of_row = np.zeros(n, dtype=np.int64)
-    fill = np.zeros(n_levels, dtype=np.int64)
-    for i in range(n):
-        l = level[i]
-        level_rows[l, fill[l]] = i
-        slot_of_row[i] = fill[l]
-        fill[l] += 1
+    level_rows[level[order_rows], slot_sorted] = order_rows
+    slot_of_row = np.empty(n, dtype=np.int64)
+    slot_of_row[order_rows] = slot_sorted
 
     k = int(np.bincount(o_rows, minlength=n).max()) if len(o_rows) else 0
     k = max(k, 1)
     ell_cols = np.zeros((n_levels, rows_per_level, k), dtype=np.int32)
     ell_vals = np.zeros((n_levels, rows_per_level, k), dtype=vals.dtype)
-    pos = np.zeros(n, dtype=np.int64)
-    for idx in range(len(o_rows)):
-        i = o_rows[idx]
-        l = level[i]
-        s = slot_of_row[i]
-        p = pos[i]
-        ell_cols[l, s, p] = o_cols[idx]
-        ell_vals[l, s, p] = o_vals[idx]
-        pos[i] += 1
+    if len(o_rows_s):
+        pos = np.arange(len(o_rows_s)) - starts[o_rows_s]
+        ell_cols[level[o_rows_s], slot_of_row[o_rows_s], pos] = o_cols_s
+        ell_vals[level[o_rows_s], slot_of_row[o_rows_s], pos] = o_vals_s
 
     inv_diag = np.zeros((n_levels, rows_per_level), dtype=vals.dtype)
     valid = level_rows < n

@@ -82,7 +82,10 @@ def canonical_method(method: str) -> str:
 _JIT_CACHE: dict = {}
 
 
-def _compiled_solver(fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key):
+def _compiled_solver(
+    fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key,
+    static_M=None,
+):
     """jit-compile (and cache) one solver configuration.
 
     The cache key captures everything static: the engine function, the
@@ -91,8 +94,15 @@ def _compiled_solver(fn, params, monitor, trace_len, needs_M, needs_bounds, take
     configuration and shapes then hit XLA's compiled-executable cache — the
     analogue of the reference reusing caller-owned scratch vectors across
     repeated solves (lcg.h:116-137), but for compilations.
+
+    ``static_M`` carries a bare-callable preconditioner (the reference's
+    ``Mfp`` function pointer, lcg.h:44-45) in the closure; operator-valued
+    preconditioners are pytrees and travel as traced operands instead.
     """
-    cache_key = (fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key)
+    cache_key = (
+        fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key,
+        static_M,
+    )
     cached = _JIT_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -101,8 +111,11 @@ def _compiled_solver(fn, params, monitor, trace_len, needs_M, needs_bounds, take
         kwargs = dict(params=params, monitor=monitor, trace_len=trace_len)
         i = 0
         if needs_M:
-            kwargs["M"] = extras[i]
-            i += 1
+            if static_M is not None:
+                kwargs["M"] = static_M
+            else:
+                kwargs["M"] = extras[i]
+                i += 1
         if needs_bounds:
             kwargs["lower"] = extras[i]
             kwargs["upper"] = extras[i + 1]
@@ -198,11 +211,15 @@ def solve(
         return _error_result(b, Status.SIZE_NOT_MATCH)
 
     takes_key = is_complex and m in ("cgs", "bicgstab", "tfqmr")
-    jitted = _compiled_solver(fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key)
+    M_static = needs_M and not isinstance(M, LinearOperator)
+    jitted = _compiled_solver(
+        fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key,
+        static_M=M if M_static else None,
+    )
 
     x0_arr = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     extras = []
-    if needs_M:
+    if needs_M and not M_static:
         extras.append(M)
     if needs_bounds:
         extras.append(jnp.asarray(lower, dtype=b.real.dtype))
