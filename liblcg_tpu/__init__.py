@@ -41,6 +41,7 @@ from .operators import (
     make_sparse_operator,
 )
 from .solve import (
+    BATCHED_METHODS,
     COMPLEX_METHODS,
     REAL_METHODS,
     canonical_method,
@@ -49,6 +50,7 @@ from .solve import (
     lcg_solver_constrained,
     lcg_solver_preconditioned,
     solve,
+    solve_batched,
 )
 from .precond import (
     JacobiPreconditioner,
@@ -88,6 +90,8 @@ __all__ = [
     "ProductOperator",
     "aslinearoperator",
     "solve",
+    "solve_batched",
+    "BATCHED_METHODS",
     "lcg_solver",
     "lcg_solver_preconditioned",
     "lcg_solver_constrained",

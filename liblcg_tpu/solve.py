@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable, Optional, Union
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +31,8 @@ from .types import DEFAULT_PARAMS, SolverParams, SolveResult, Status
 _REAL_METHODS = {
     "cg": (_real.cg, False, False),
     "pcg": (_real.pcg, True, False),
+    "cg_pipelined": (_real.cg_pipelined, False, False),
+    "pcg_pipelined": (_real.pcg_pipelined, True, False),
     "cgs": (_real.cgs, False, False),
     "bicgstab": (_real.bicgstab, False, False),
     "bicgstab2": (_real.bicgstab2, False, False),
@@ -46,8 +49,11 @@ _CPLX_METHODS = {
     "pbicg": (_cplx.pbicg, True, False),
 }
 
-#: Reference enum spellings (util.cpp:39-51, :157-166) -> short names.
+#: Reference enum spellings (util.cpp:39-51, :157-166) -> short names,
+#: plus short aliases for the TPU-native pipelined variants.
 _ALIASES = {
+    "cgp": "cg_pipelined",
+    "pcgp": "pcg_pipelined",
     "LCG_CG": "cg",
     "LCG_PCG": "pcg",
     "LCG_CGS": "cgs",
@@ -240,6 +246,139 @@ def solve(
         from .utils.errors import check_status
 
         check_status(result.status_code, raise_error=True, quiet=True)
+    return result
+
+
+#: Methods supported by the batched multi-RHS path.  TFQMR/BiCGSTAB2 own
+#: custom loops with mid-iteration exits, and PG/SPG carry non-reduction
+#: scalars (BB step, line-search state) — all excluded for now.
+BATCHED_METHODS = frozenset(
+    {"cg", "pcg", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
+     "bicg", "bicg_sym", "pbicg"}
+)
+
+
+class _VmappedOperator:
+    """Trace-time adapter mapping a 1-D operator over stacked (nrhs, n)
+    vectors with ``jax.vmap`` — built inside the jitted function, so it
+    needs no pytree registration."""
+
+    def __init__(self, op):
+        self._op = op
+        self.shape = getattr(op, "shape", None)
+        self.dtype = getattr(op, "dtype", None)
+
+    def mv(self, X):
+        return jax.vmap(self._op.mv)(X)
+
+    def rmv(self, X):
+        return jax.vmap(self._op.rmv)(X)
+
+    def cmv(self, X):
+        return jax.vmap(self._op.cmv)(X)
+
+    def hmv(self, X):
+        return jax.vmap(self._op.hmv)(X)
+
+
+def solve_batched(
+    A: Union[LinearOperator, jnp.ndarray, Callable],
+    B,
+    X0=None,
+    *,
+    method: str = "cg",
+    params: SolverParams = DEFAULT_PARAMS,
+    M=None,
+    monitor: Optional[Callable] = None,
+    key=None,
+    check: bool = False,
+) -> SolveResult:
+    """Solve ``A x_i = b_i`` for a stack of right-hand sides at once.
+
+    ``B`` is (nrhs, n); the result's ``x`` is (nrhs, n) and ``status`` /
+    ``iterations`` / ``residual`` are per-system (nrhs,).  One operator,
+    one compiled loop: every iteration applies A to all systems and reduces
+    all dot products along the row axis, so on TPU the marginal cost of
+    additional right-hand sides is tiny (the iteration's serialized-region
+    count is unchanged).  Systems that converge early are frozen; the loop
+    runs until all exit.  The reference has no multi-RHS capability
+    (solves are strictly one ``B`` at a time, lcg.h:61).
+    """
+    from .solvers import harness as H
+
+    m = canonical_method(method)
+    if m not in BATCHED_METHODS:
+        raise ValueError(
+            f"method {m!r} does not support batched solves; available: "
+            f"{sorted(BATCHED_METHODS)}"
+        )
+    B = jnp.asarray(B)
+    if B.ndim != 2:
+        raise ValueError(f"B must be (nrhs, n), got shape {B.shape}")
+    A = aslinearoperator(A, n=B.shape[1], dtype=B.dtype) if not isinstance(
+        A, LinearOperator
+    ) else A
+    is_complex = jnp.issubdtype(B.dtype, jnp.complexfloating) or jnp.issubdtype(
+        jnp.dtype(A.dtype), jnp.complexfloating
+    )
+    table = _CPLX_METHODS if is_complex else _REAL_METHODS
+    if m not in table:
+        dom = "complex" if is_complex else "real"
+        raise ValueError(f"method {m!r} is not available in the {dom} domain")
+    fn, needs_M, _ = table[m]
+
+    err = params.validate(for_method=m)
+    if err is not None:
+        return _error_result(B if X0 is None else X0, err)
+    if needs_M and M is None:
+        return _error_result(B, Status.NULL_PRECONDITION_MATRIX)
+    if is_complex and not jnp.issubdtype(B.dtype, jnp.complexfloating):
+        B = B.astype(A.dtype)
+    X0_arr = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, dtype=B.dtype)
+    takes_key = is_complex and m in ("cgs", "bicgstab")
+    M_static = needs_M and not isinstance(M, LinearOperator)
+
+    cache_key = ("batched", fn, params, monitor, needs_M, takes_key,
+                 M if M_static else None)
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is None:
+        def run(A_t, B_t, X0_t, *extras):
+            Ab = _VmappedOperator(A_t)
+            kwargs = dict(params=params, monitor=monitor)
+            i = 0
+            if needs_M:
+                if M_static:
+                    kwargs["M"] = (lambda X: jax.vmap(M)(X))
+                else:
+                    kwargs["M"] = _VmappedOperator(extras[i])
+                    i += 1
+            if takes_key:
+                kwargs["key"] = extras[i]
+            with H.batched():
+                return fn(Ab, B_t, X0_t, **kwargs)
+
+        jitted = jax.jit(run)
+        _JIT_CACHE[cache_key] = jitted
+
+    extras = []
+    if needs_M and not M_static:
+        extras.append(M)
+    if takes_key:
+        extras.append(jax.random.PRNGKey(1234) if key is None else key)
+
+    carry = jitted(A, B, X0_arr, *extras)
+    result = SolveResult(
+        x=carry["x"],
+        status_code=carry["status"],
+        iterations=carry["t"],
+        residual=carry["residual"],
+        trace=None,
+    )
+    if check:
+        from .utils.errors import check_status
+
+        for s in np.asarray(result.status_code):
+            check_status(s, raise_error=True, quiet=True)
     return result
 
 

@@ -48,19 +48,18 @@ def _shadow_residual(rk, key):
     |<rbar0, rk>| < 1e-8, max 8 attempts (clcg.cpp:399-403)."""
     if key is None:
         key = jax.random.PRNGKey(_DEFAULT_KEY)
-    n = rk.shape[0]
     rdt = rk.real.dtype
 
     def draw(key):
         key, sub = jax.random.split(key)
-        re = jax.random.uniform(sub, (n,), dtype=rdt, minval=1.0, maxval=2.0)
+        re = jax.random.uniform(sub, rk.shape, dtype=rdt, minval=1.0, maxval=2.0)
         return key, re.astype(rk.dtype)
 
     key, rbar0 = draw(key)
 
     def cond(s):
         key, rbar0, k = s
-        return (jnp.abs(H.dot_c(rbar0, rk)) < 1e-8) & (k < 8)
+        return jnp.any(jnp.abs(H.dot_c(rbar0, rk)) < 1e-8) & (k < 8)
 
     def body(s):
         key, _, k = s

@@ -75,16 +75,44 @@ def _allreduce(s: jnp.ndarray) -> jnp.ndarray:
     return lax.psum(s, ax) if ax is not None else s
 
 
+# ---------------------------------------------------------------------------
+# Batched (multi-RHS) context
+#
+# ``with batched()`` traces a solver over a stack of right-hand sides at
+# once: vectors are (nrhs, n), reductions keep a (nrhs, 1) leading axis, and
+# ``run_loop`` masks finished systems so they stop updating (naively letting
+# a converged CG keep stepping divides 0/0 and poisons x with NaNs).  On TPU
+# this is nearly free: the iteration's serialized region count is unchanged,
+# each region just carries nrhs times the work.  The reference has no
+# multi-RHS story at all — solves are strictly one b at a time (lcg.h:61).
+# ---------------------------------------------------------------------------
+
+_BATCHED: list = []
+
+
+@contextlib.contextmanager
+def batched():
+    _BATCHED.append(True)
+    try:
+        yield
+    finally:
+        _BATCHED.pop()
+
+
+def batch_active() -> bool:
+    return bool(_BATCHED)
+
+
 def dim(v: jnp.ndarray) -> int:
     """Global logical length of solve vector ``v`` (static).  Inside a
     distributed context: the declared logical dim, else local shard length
-    times the mesh axis size."""
+    times the mesh axis size.  Batched vectors are (nrhs, n)."""
     if _DIST_AXIS:
         ax, logical = _DIST_AXIS[-1]
         if logical is not None:
             return logical
         return v.shape[0] * lax.psum(1, ax)
-    return v.shape[0]
+    return v.shape[-1] if batch_active() else v.shape[0]
 
 
 def real_residual(r_sq: jnp.ndarray, x_sq: jnp.ndarray, n: int, abs_diff: bool):
@@ -115,34 +143,43 @@ def complex_residual(r_sq: jnp.ndarray, x_sq: jnp.ndarray, n: int, abs_diff: boo
     return r4 / jnp.maximum(x4, 1.0)
 
 
+def _reduce_sum(v: jnp.ndarray) -> jnp.ndarray:
+    """Sum over the solve dimension: scalar normally, (nrhs, 1) batched."""
+    if batch_active():
+        return jnp.sum(v, axis=-1, keepdims=True)
+    return jnp.sum(v)
+
+
 def sq_norm(v: jnp.ndarray) -> jnp.ndarray:
     """||v||^2 as a real scalar (complex-safe; global when distributed)."""
     if jnp.issubdtype(v.dtype, jnp.complexfloating):
-        return _allreduce(jnp.sum(v.real * v.real + v.imag * v.imag))
-    return _allreduce(jnp.sum(v * v))
+        return _allreduce(_reduce_sum(v.real * v.real + v.imag * v.imag))
+    return _allreduce(_reduce_sum(v * v))
 
 
 def dot_u(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Unconjugated dot  sum_i a_i b_i  (reference ``clcg_dot``,
     lcg_complex.cpp:143-154; for real vectors equals ``lcg_dot``)."""
-    return _allreduce(jnp.sum(a * b))
+    return _allreduce(_reduce_sum(a * b))
 
 
 def dot_c(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Conjugated inner product  sum_i conj(a_i) b_i  (reference
     ``clcg_inner``, lcg_complex.cpp:156-167)."""
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
-        return _allreduce(jnp.sum(jnp.conj(a) * b))
-    return _allreduce(jnp.sum(a * b))
+        return _allreduce(_reduce_sum(jnp.conj(a) * b))
+    return _allreduce(_reduce_sum(a * b))
 
 
 def has_nan(x: jnp.ndarray) -> jnp.ndarray:
     """Reference NaN scan ``m[i] != m[i]`` (lcg.cpp:247-253); global when
-    distributed (any shard's NaN fails the solve everywhere, in lockstep)."""
+    distributed (any shard's NaN fails the solve everywhere, in lockstep);
+    per-system (nrhs, 1) when batched."""
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        local = jnp.any(jnp.isnan(x.real) | jnp.isnan(x.imag))
+        bad = jnp.isnan(x.real) | jnp.isnan(x.imag)
     else:
-        local = jnp.any(jnp.isnan(x))
+        bad = jnp.isnan(x)
+    local = jnp.any(bad, axis=-1, keepdims=True) if batch_active() else jnp.any(bad)
     ax = dist_axis()
     if ax is not None:
         return lax.psum(local.astype(jnp.int32), ax) > 0
@@ -158,13 +195,8 @@ def init_trace(trace_len: int, dtype=jnp.float64):
 def record_trace(trace, t, value):
     if trace is None:
         return None
-    L = trace.shape[0]
-    return lax.cond(
-        t < L,
-        lambda tr: tr.at[t].set(value.astype(tr.dtype)),
-        lambda tr: tr,
-        trace,
-    )
+    # mode="drop" discards out-of-range writes — no lax.cond needed.
+    return trace.at[t].set(value.astype(trace.dtype), mode="drop")
 
 
 def run_loop(
@@ -181,69 +213,97 @@ def run_loop(
 
     ``carry`` must contain integer ``t`` (iteration counter, starts at 0),
     int32 ``status`` (Status.RUNNING), float ``residual`` and optionally
-    ``trace``.  Order of checks matches the reference loop exactly
-    (lcg.cpp:206-264): monitor -> convergence -> max-iterations -> update ->
-    NaN scan.  The initial ALREADY_OPTIMIZED test (lcg.cpp:186-203) is folded
-    in: a solve that converges with t == 0 is relabelled by ``finalize``.
+    ``trace``.  Check order matches the reference loop (lcg.cpp:206-264):
+    monitor -> convergence -> max-iterations, evaluated at the top of every
+    iteration; the initial ALREADY_OPTIMIZED test (lcg.cpp:186-203) falls
+    out as convergence at t == 0 (``finalize``).
+
+    Performance shape: the loop body is *straight-line* — every exit test
+    lives in the scalar-only ``cond_fn`` and the final status is
+    reconstructed once after the loop.  ``lax.cond`` branches inside the
+    body would serialize extra XLA computations per iteration, which on TPU
+    costs far more than the arithmetic they guard.  The reference's
+    per-iteration NaN scan (lcg.cpp:247-253) is replaced by NaN
+    *propagation*: a NaN in the recurrence poisons the residual scalar,
+    every comparison with it is False, the loop exits, and the post-loop
+    classification reports NAN_VALUE — same exit iteration, zero cost in
+    the hot path.
     """
     max_iter = params.effective_max_iterations()
     eps = params.epsilon
+    tracing = carry.get("trace") is not None
+    is_batched = batch_active()
+    if is_batched:
+        if tracing:
+            raise ValueError("trace_len > 0 is not supported for batched solves")
+        nrhs = x_of(carry).shape[0]
+        carry = dict(carry, t=jnp.zeros((nrhs, 1), jnp.int32) + carry["t"])
 
-    def cond_fn(c):
-        return (c["status"] == int(Status.RUNNING)) & (c["t"] <= max_iter)
-
-    def body_fn(c):
+    def top_checks(c):
+        """(continue?, stop?, res) evaluated at the top of iteration t.
+        Batched: all three are per-system (nrhs, 1)."""
         res = residual_fn(c)
-        c = dict(c, residual=res)
-        if "trace" in c and c["trace"] is not None:
-            c["trace"] = record_trace(c["trace"], c["t"], res)
-
         stop = (
-            monitor(x_of(c), res, c["t"])
+            jnp.asarray(monitor(x_of(c), res, c["t"]))
             if monitor is not None
             else jnp.asarray(False)
         )
-        converged = res <= eps
-        hit_max = (params.max_iterations > 0) & (c["t"] + 1 > params.max_iterations)
+        hit_max = (params.max_iterations > 0) & (
+            c["t"] + 1 > params.max_iterations
+        )
+        # NaN res compares False with everything -> loop exits on NaN too.
+        keep_going = (res > eps) & ~stop & ~hit_max & (c["t"] <= max_iter)
+        return keep_going, stop, res
 
-        exit_status = jnp.where(
-            stop,
-            int(Status.STOP),
-            jnp.where(
-                converged,
-                int(Status.CONVERGENCE),
-                jnp.where(
-                    hit_max,
-                    int(Status.REACHED_MAX_ITERATIONS),
-                    int(Status.RUNNING),
-                ),
-            ),
-        ).astype(jnp.int32)
+    def cond_fn(c):
+        kg = top_checks(c)[0]
+        return jnp.any(kg) if is_batched else kg
 
-        def do_exit(c):
-            return dict(c, status=exit_status)
-
-        def do_step(c):
+    def body_fn(c):
+        if tracing:
+            c = dict(c, trace=record_trace(c["trace"], c["t"], residual_fn(c)))
+        if not is_batched:
             c = dict(c, t=c["t"] + 1)
-            c = step_fn(c)
-            nan = has_nan(x_of(c))
-            return dict(
-                c,
-                status=jnp.where(nan, int(Status.NAN_VALUE), c["status"]).astype(
-                    jnp.int32
-                ),
-            )
+            return step_fn(c)
+        # Batched: step everything, keep finished systems frozen — a
+        # converged CG stepped further divides 0/0 and poisons x.
+        alive = top_checks(c)[0]
+        c2 = dict(c, t=c["t"] + alive.astype(jnp.int32))
+        c2 = step_fn(c2)
 
-        return lax.cond(exit_status == int(Status.RUNNING), do_step, do_exit, c)
+        def mask(new, old):
+            if not hasattr(new, "ndim") or new.ndim == 0:
+                return new
+            a = alive.reshape(alive.shape[:1] + (1,) * (new.ndim - 1))
+            return jnp.where(a, new, old)
+
+        return {k: mask(c2[k], c[k]) for k in c2}
 
     carry = lax.while_loop(cond_fn, body_fn, carry)
 
-    # Loop fell out of the hard cap without a verdict -> REACHED_MAX_ITERATIONS.
-    carry["status"] = jnp.where(
-        carry["status"] == int(Status.RUNNING),
-        int(Status.REACHED_MAX_ITERATIONS),
-        carry["status"],
+    # Post-loop: classify the exit exactly once.
+    _, stop, res = top_checks(carry)
+    nan = has_nan(x_of(carry)) | jnp.isnan(res)
+    converged = res <= eps
+    status = jnp.where(
+        nan,
+        int(Status.NAN_VALUE),
+        jnp.where(
+            stop,
+            int(Status.STOP),
+            jnp.where(
+                converged, int(Status.CONVERGENCE),
+                int(Status.REACHED_MAX_ITERATIONS),
+            ),
+        ),
     ).astype(jnp.int32)
+    if is_batched:
+        status = status.reshape(-1)
+        res = res.reshape(-1)
+        carry = dict(carry, t=carry["t"].reshape(-1))
+    carry = dict(carry, status=status, residual=res)
+    if tracing:
+        carry["trace"] = record_trace(carry["trace"], carry["t"], res)
     return finalize(carry)
 
 

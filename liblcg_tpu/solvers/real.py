@@ -141,6 +141,96 @@ def pcg(A, b, x0=None, *, M, params=SolverParams(), monitor=None, trace_len=0):
     return carry
 
 
+def _cg_pipelined(A, b, x0, M, params, monitor, trace_len):
+    """Pipelined (communication-avoiding) preconditioned CG.
+
+    Ghysels & Vanroose (2014): auxiliary recurrences put ALL of an
+    iteration's inner products — gamma = (r, u), delta = (w, u), plus the
+    ||r||^2 / ||x||^2 needed for the stopping metric — at a single fused
+    reduction point.  Per iteration that is ONE operator product and ONE
+    reduction region instead of CG's two dependent reduction points, which
+    matters twice on TPU: on-chip, serialized-region latency bounds small
+    solves; across a mesh, it halves the psum count per iteration.
+
+    No reference counterpart (this variant exists because of hardware
+    latency, not algebra); convergence matches CG in exact arithmetic, with
+    the usual mild residual drift in finite precision.  Stopping semantics
+    are the reference rules (lcg.cpp:186-209) applied to the recurred
+    residual.
+    """
+    A, b, x = _prep(A, b, x0)
+    n = H.dim(b)
+    apply_M = (M.mv if hasattr(M, "mv") else M) if M is not None else (lambda v: v)
+
+    r = b - A.mv(x)
+    u = apply_M(r)
+    w = A.mv(u)
+    gamma = H.dot_u(r, u)
+    delta = H.dot_u(w, u)
+    rr = H.sq_norm(r)
+    zero = jnp.zeros_like(b)
+    carry = dict(
+        x=x, r=r, u=u, w=w,
+        z=zero, q=zero, s=zero, p=zero,
+        gamma=gamma, delta=delta,
+        alpha=jnp.asarray(0.0, gamma.dtype) + gamma / delta,
+        beta=jnp.zeros_like(gamma),
+        rk_mod=rr,
+        m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        t=jnp.asarray(0, jnp.int32),
+        status=H.running_status(),
+        residual=jnp.asarray(0.0, b.real.dtype),
+        trace=H.init_trace(trace_len, b.real.dtype),
+    )
+
+    def residual_fn(c):
+        return H.real_residual(c["rk_mod"], c["m_mod"], n, params.abs_diff)
+
+    def step_fn(c):
+        m_v = apply_M(c["w"])
+        n_v = A.mv(m_v)                       # the iteration's one product
+        beta, alpha = c["beta"], c["alpha"]
+        z = n_v + beta * c["z"]
+        q = m_v + beta * c["q"]
+        s = c["w"] + beta * c["s"]
+        p = c["u"] + beta * c["p"]
+        x = c["x"] + alpha * p
+        r = c["r"] - alpha * s
+        u = c["u"] - alpha * q
+        w = c["w"] - alpha * z
+        # Single fused reduction point: all four dots in one region.
+        gamma1 = H.dot_u(r, u)
+        delta1 = H.dot_u(w, u)
+        rr = H.sq_norm(r)
+        xx = H.sq_norm(x)
+        beta1 = gamma1 / c["gamma"]
+        alpha1 = gamma1 / (delta1 - beta1 * gamma1 / alpha)
+        return dict(
+            c, x=x, r=r, u=u, w=w, z=z, q=q, s=s, p=p,
+            gamma=gamma1, delta=delta1, alpha=alpha1, beta=beta1,
+            rk_mod=rr, m_mod=jnp.maximum(xx, 1.0),
+        )
+
+    return H.run_loop(
+        carry,
+        residual_fn=residual_fn,
+        step_fn=step_fn,
+        x_of=lambda c: c["x"],
+        params=params,
+        monitor=monitor,
+    )
+
+
+def cg_pipelined(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
+    """Unpreconditioned pipelined CG (see :func:`_cg_pipelined`)."""
+    return _cg_pipelined(A, b, x0, None, params, monitor, trace_len)
+
+
+def pcg_pipelined(A, b, x0=None, *, M, params=SolverParams(), monitor=None, trace_len=0):
+    """Preconditioned pipelined CG (see :func:`_cg_pipelined`)."""
+    return _cg_pipelined(A, b, x0, M, params, monitor, trace_len)
+
+
 def cgs(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
     """Conjugate gradient squared (Fokkema 1996 alg. 2).  Reference: ``lcgs``
     lcg.cpp:437-612; 2 operator products per iteration, fixed shadow
