@@ -61,6 +61,7 @@ from .precond import (
 )
 from .solver_class import CLCGSolver, LCGSolver, SolverBase
 from .utils.errors import LcgError, check_status, status_message
+from .utils.profiling import SolveStats, profile_solve, timed_solve
 from .utils import io
 from . import parallel
 from .parallel import (
@@ -110,6 +111,9 @@ __all__ = [
     "LcgError",
     "check_status",
     "status_message",
+    "SolveStats",
+    "timed_solve",
+    "profile_solve",
     "io",
     "parallel",
     "ShardedSparseOperator",

@@ -214,7 +214,9 @@ def solve_sharded(
         if takes_key:
             # Decorrelate the shadow-residual draw across shards.
             kwargs["key"] = jax.random.fold_in(extras_l[i], lax.axis_index(axis))
-        with H.distributed(axis, logical_dim=n):
+        with H.distributed(axis, logical_dim=n), H.reduction_dtype(
+            params.reduce_dtype
+        ):
             return fn(A_l, b_l, x0_l, **kwargs)
 
     mapped = jax.shard_map(

@@ -114,6 +114,8 @@ def _compiled_solver(
         return cached
 
     def run(A, b, x0, *extras):
+        from .solvers import harness as H
+
         kwargs = dict(params=params, monitor=monitor, trace_len=trace_len)
         i = 0
         if needs_M:
@@ -128,7 +130,8 @@ def _compiled_solver(
             i += 2
         if takes_key:
             kwargs["key"] = extras[i]
-        return fn(A, b, x0, **kwargs)
+        with H.reduction_dtype(params.reduce_dtype):
+            return fn(A, b, x0, **kwargs)
 
     jitted = jax.jit(run)
     _JIT_CACHE[cache_key] = jitted
@@ -254,7 +257,7 @@ def solve(
 #: scalars (BB step, line-search state) — all excluded for now.
 BATCHED_METHODS = frozenset(
     {"cg", "pcg", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
-     "bicg", "bicg_sym", "pbicg"}
+     "bicgstab2", "bicg", "bicg_sym", "pbicg"}
 )
 
 
@@ -312,6 +315,11 @@ def solve_batched(
             f"method {m!r} does not support batched solves; available: "
             f"{sorted(BATCHED_METHODS)}"
         )
+    if m == "bicgstab2" and params.abs_diff:
+        raise ValueError(
+            "bicgstab2 with abs_diff uses a mid-iteration exit that is not "
+            "batchable; use abs_diff=0 or solve one system at a time"
+        )
     B = jnp.asarray(B)
     if B.ndim != 2:
         raise ValueError(f"B must be (nrhs, n), got shape {B.shape}")
@@ -354,7 +362,7 @@ def solve_batched(
                     i += 1
             if takes_key:
                 kwargs["key"] = extras[i]
-            with H.batched():
+            with H.batched(), H.reduction_dtype(params.reduce_dtype):
                 return fn(Ab, B_t, X0_t, **kwargs)
 
         jitted = jax.jit(run)

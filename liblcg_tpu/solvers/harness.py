@@ -103,6 +103,34 @@ def batch_active() -> bool:
     return bool(_BATCHED)
 
 
+# ---------------------------------------------------------------------------
+# Mixed-precision reductions
+#
+# The reference's mixed-precision story is a whole duplicated float stack
+# (clcg_cudaf.*); here storage dtype is already a parameter, and this
+# context adds the complementary knob: accumulate dot products in a wider
+# dtype (classically f32 storage + f64 accumulation) and cast the scalar
+# back.  Activated by ``SolverParams.reduce_dtype``.
+# ---------------------------------------------------------------------------
+
+_REDUCE_DTYPE: list = []
+
+
+@contextlib.contextmanager
+def reduction_dtype(dt):
+    _REDUCE_DTYPE.append(None if dt is None else jnp.dtype(dt))
+    try:
+        yield
+    finally:
+        _REDUCE_DTYPE.pop()
+
+
+def _acc_dtype(value_dtype):
+    if not _REDUCE_DTYPE or _REDUCE_DTYPE[-1] is None:
+        return None
+    return jnp.promote_types(value_dtype, _REDUCE_DTYPE[-1])
+
+
 def dim(v: jnp.ndarray) -> int:
     """Global logical length of solve vector ``v`` (static).  Inside a
     distributed context: the declared logical dim, else local shard length
@@ -144,10 +172,15 @@ def complex_residual(r_sq: jnp.ndarray, x_sq: jnp.ndarray, n: int, abs_diff: boo
 
 
 def _reduce_sum(v: jnp.ndarray) -> jnp.ndarray:
-    """Sum over the solve dimension: scalar normally, (nrhs, 1) batched."""
+    """Sum over the solve dimension: scalar normally, (nrhs, 1) batched.
+    Accumulates in the active mixed-precision dtype, cast back to the
+    storage dtype so downstream arithmetic stays un-promoted."""
+    acc = _acc_dtype(v.dtype)
     if batch_active():
-        return jnp.sum(v, axis=-1, keepdims=True)
-    return jnp.sum(v)
+        s = jnp.sum(v, axis=-1, keepdims=True, dtype=acc)
+    else:
+        s = jnp.sum(v, dtype=acc)
+    return s.astype(v.dtype) if acc is not None else s
 
 
 def sq_norm(v: jnp.ndarray) -> jnp.ndarray:

@@ -357,6 +357,67 @@ def bicgstab(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0)
     return carry
 
 
+def _bicgstab2_straight(A, b, x0, *, params, monitor, trace_len):
+    """Restarted BiCGSTAB without the abs_diff mid-iteration check: the
+    restart (lcg.cpp:993-1009) is a pure ``jnp.where`` select, so the whole
+    engine runs on the shared straight-line harness."""
+    A, b, x = _prep(A, b, x0)
+    n = H.dim(b)
+
+    Ax = A.mv(x)
+    rk = b - Ax
+    carry = dict(
+        x=x,
+        rk=rk,
+        r0T=rk,
+        pk=rk,
+        rkr0T=H.sq_norm(rk),
+        rk_mod=H.sq_norm(rk),
+        m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        t=jnp.asarray(0, jnp.int32),
+        status=H.running_status(),
+        residual=jnp.asarray(0.0, rk.real.dtype),
+        trace=H.init_trace(trace_len, b.real.dtype),
+    )
+
+    def residual_fn(c):
+        return H.real_residual(c["rk_mod"], c["m_mod"], n, params.abs_diff)
+
+    def step_fn(c):
+        Apk = A.mv(c["pk"])
+        AprT = H.dot_u(Apk, c["r0T"])
+        ak = c["rkr0T"] / AprT
+        sk = c["rk"] - ak * Apk
+        Ask = A.mv(sk)
+        Ass = H.dot_u(Ask, sk)
+        AsAs = H.dot_u(Ask, Ask)
+        wk = Ass / AsAs
+        x = c["x"] + ak * c["pk"] + wk * sk
+        rk = sk - wk * Ask
+        rk_mod = H.sq_norm(rk)
+        rkr0T1 = H.dot_u(rk, c["r0T"])
+        # Restart (lcg.cpp:994-1009): r0T <- rk, pk <- rk, rkr0T = ||rk||^2;
+        # the betak direction update is skipped on restart.
+        restart = jnp.abs(rkr0T1) < params.restart_epsilon
+        r0T = jnp.where(restart, rk, c["r0T"])
+        rkr0T_new = jnp.where(restart, rk_mod, rkr0T1)
+        betak = (ak / wk) * rkr0T1 / c["rkr0T"]
+        pk = jnp.where(restart, rk, rk + betak * (c["pk"] - wk * Apk))
+        return dict(
+            c, x=x, rk=rk, r0T=r0T, pk=pk, rkr0T=rkr0T_new,
+            rk_mod=rk_mod, m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        )
+
+    return H.run_loop(
+        carry,
+        residual_fn=residual_fn,
+        step_fn=step_fn,
+        x_of=lambda c: c["x"],
+        params=params,
+        monitor=monitor,
+    )
+
+
 def bicgstab2(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
     """Restarted BiCGSTAB.  Reference: ``lbicgstab2`` lcg.cpp:812-1034.
 
@@ -368,9 +429,14 @@ def bicgstab2(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0
       monitor call, half-step solution update, and extra counter increment
       (lcg.cpp:918-950).
 
-    The mid-iteration exit cannot use the common harness, so this engine owns
-    its loop body; stopping semantics are otherwise identical.
+    In the default relative-metric mode (abs_diff == 0) there is no
+    mid-iteration check, so the engine runs on the shared straight-line
+    harness with the restart as a ``jnp.where`` select; only the abs_diff
+    mode pays for a branching loop body.
     """
+    if not params.abs_diff:
+        return _bicgstab2_straight(A, b, x0, params=params, monitor=monitor,
+                                   trace_len=trace_len)
     A, b, x = _prep(A, b, x0)
     n = H.dim(b)  # global length (psum-aware when sharded)
     max_iter = params.effective_max_iterations()

@@ -117,6 +117,11 @@ class SolverParams:
     #: the reference inner loop (lcg.cpp:1377-1399) is unbounded, which
     #: cannot be compiled; 60 halvings at beta=0.9 shrink alpha below 2e-3.
     max_backtracks: int = 60
+    #: Accumulate dot products in this dtype (e.g. "float64" with float32
+    #: storage), cast back to the storage dtype.  None = storage dtype.
+    #: New knob: the reference's only mixed-precision story is a duplicated
+    #: float-complex stack (clcg_cudaf.*).
+    reduce_dtype: Optional[str] = None
 
     def effective_max_iterations(self) -> int:
         return self.max_iterations if self.max_iterations > 0 else self.hard_iteration_cap

@@ -124,9 +124,21 @@ def test_batched_complex_cgs_with_key():
 def test_batched_rejects_unsupported(spd):
     A, B, _ = spd
     with pytest.raises(ValueError):
-        lcg.solve_batched(lcg.DenseOperator(A), B, method="bicgstab2")
+        lcg.solve_batched(lcg.DenseOperator(A), B, method="tfqmr")
+    with pytest.raises(ValueError):
+        # bicgstab2's abs_diff mid-iteration exit is not batchable
+        lcg.solve_batched(lcg.DenseOperator(A), B, method="bicgstab2",
+                          params=lcg.SolverParams(abs_diff=1))
     with pytest.raises(ValueError):
         lcg.solve_batched(lcg.DenseOperator(A), B[0])  # 1-D B
+
+
+def test_batched_bicgstab2(spd):
+    A, B, X_true = spd
+    res = lcg.solve_batched(lcg.DenseOperator(A), B, method="bicgstab2",
+                            params=PARAMS)
+    assert np.all(np.asarray(res.status_code) >= 0)
+    np.testing.assert_allclose(np.asarray(res.x), X_true, atol=2e-4)
 
 
 def test_batched_sparse_operator(case_10k):
