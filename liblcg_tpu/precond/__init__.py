@@ -19,6 +19,13 @@ from .triangular import (
     level_schedule,
     triangular_solve,
 )
+from .dense import (
+    DenseCholeskyPreconditioner,
+    cholesky,
+    cholesky_symmetric,
+    invert_lower_triangle,
+    invert_upper_triangle,
+)
 
 __all__ = [
     "JacobiPreconditioner",
@@ -30,4 +37,9 @@ __all__ = [
     "TriangularPreconditioner",
     "level_schedule",
     "triangular_solve",
+    "DenseCholeskyPreconditioner",
+    "cholesky",
+    "cholesky_symmetric",
+    "invert_lower_triangle",
+    "invert_upper_triangle",
 ]

@@ -362,7 +362,29 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
     def cond_fn(c):
         return (c["status"] == int(Status.RUNNING)) & (c["t"] <= max_iter)
 
+    def _half_verdict(c, x, t, res):
+        """Exit verdict at one half step (monitor -> eps -> max-iter)."""
+        stop = (
+            monitor(x, res, t) if monitor is not None else jnp.asarray(False)
+        )
+        return jnp.where(
+            stop,
+            int(Status.STOP),
+            jnp.where(
+                res <= eps,
+                int(Status.CONVERGENCE),
+                jnp.where(
+                    (params.max_iterations > 0) & (t + 1 > params.max_iterations),
+                    int(Status.REACHED_MAX_ITERATIONS),
+                    int(Status.RUNNING),
+                ),
+            ),
+        ).astype(jnp.int32)
+
     def body_fn(c):
+        """One outer iteration = two half steps + recurrence tail, all
+        straight-line: half-step exits become jnp.where selects (a branch
+        per half step would serialize extra XLA regions per iteration)."""
         vk = A.mv(c["pk"])
         sigma = H.dot_c(c["rbar0"], vk)
         alpha = c["rho"] / sigma
@@ -371,90 +393,87 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
         Auq = A.mv(uqk)
         rk = c["rk"] - alpha * Auq
         rk_mod2 = H.sq_norm(rk)
+        # rk/qk are committed before the checks, like the reference's
+        # in-place array updates (clcg.cpp:766-780).
         c = dict(c, qk=qk, rk=rk)
 
-        def half_step(c, j):
-            res = _init_res(c)  # stale rk_sq by design (clcg.cpp:784-785)
-            c = dict(c, residual=res)
-            if c["trace"] is not None:
-                c["trace"] = H.record_trace(c["trace"], c["t"], res)
-            stop = (
-                monitor(c["x"], res, c["t"])
-                if monitor is not None
-                else jnp.asarray(False)
-            )
-            verdict = jnp.where(
-                stop,
-                int(Status.STOP),
-                jnp.where(
-                    res <= eps,
-                    int(Status.CONVERGENCE),
-                    jnp.where(
-                        (params.max_iterations > 0)
-                        & (c["t"] + 1 > params.max_iterations),
-                        int(Status.REACHED_MAX_ITERATIONS),
-                        int(Status.RUNNING),
-                    ),
-                ),
-            ).astype(jnp.int32)
+        # Both half-step checks read the SAME stale residual — rk_square is
+        # only refreshed after the pair (clcg.cpp:784-785, 853-854).
+        res = _init_res(c)
 
-            def do_exit(c):
-                return dict(c, status=verdict)
-
-            def do_update(c):
-                t = c["t"] + 1
-                sign = c["theta"] * c["theta"] * (c["eta"] / alpha)
-                if j == 1:
-                    omega = jnp.sqrt(c["rk_mod"] * rk_mod2)   # clcg.cpp:812
-                    dk = c["uk"] + sign * c["dk"]
-                else:
-                    omega = rk_mod2                           # clcg.cpp:822
-                    dk = c["qk"] + sign * c["dk"]
-                theta = omega / c["tao"]
-                tao = omega / jnp.sqrt(1.0 + theta * theta)
-                eta = (1.0 / (1.0 + theta * theta)) * alpha
-                x = c["x"] + eta * dk
-                m_sq4 = jnp.maximum(H.sq_norm(x) ** 2, 1.0)
-                st = jnp.where(
-                    H.has_nan(x), int(Status.NAN_VALUE), c["status"]
-                ).astype(jnp.int32)
-                return dict(
-                    c,
-                    x=x,
-                    dk=dk,
-                    theta=theta,
-                    tao=tao,
-                    eta=eta,
-                    m_sq4=m_sq4,
-                    t=t,
-                    status=st,
-                )
-
-            return lax.cond(verdict == int(Status.RUNNING), do_update, do_exit, c)
-
-        c = half_step(c, 1)
-        c = lax.cond(
-            c["status"] == int(Status.RUNNING),
-            lambda c: half_step(c, 2),
-            lambda c: c,
-            c,
-        )
-
-        def tail(c):
-            rho2 = H.dot_c(c["rbar0"], c["rk"])
-            betak = rho2 / c["rho"]
-            uk = c["rk"] + betak * c["qk"]
-            pk = uk + betak * (c["qk"] + betak * c["pk"])
+        def half_update(c, j, alive):
+            sign = c["theta"] * c["theta"] * (c["eta"] / alpha)
+            if j == 1:
+                omega = jnp.sqrt(c["rk_mod"] * rk_mod2)       # clcg.cpp:812
+                dk_new = c["uk"] + sign * c["dk"]
+            else:
+                omega = rk_mod2                               # clcg.cpp:822
+                dk_new = c["qk"] + sign * c["dk"]
+            theta = omega / c["tao"]
+            tao = omega / jnp.sqrt(1.0 + theta * theta)
+            eta = (1.0 / (1.0 + theta * theta)) * alpha
+            x = c["x"] + eta * dk_new
+            sel = lambda new, old: jnp.where(alive, new, old)
             return dict(
                 c,
-                uk=uk,
-                pk=pk,
-                rho=rho2,
-                rk_mod=rk_mod2,
-                rk_sq=rk_mod2 * rk_mod2,
+                x=sel(x, c["x"]),
+                dk=sel(dk_new, c["dk"]),
+                theta=sel(theta, c["theta"]),
+                tao=sel(tao, c["tao"]),
+                eta=sel(eta, c["eta"]),
+                # ||x||^4 refreshes per half step (clcg.cpp: the m module
+                # is recomputed after each half update).
+                m_sq4=sel(jnp.maximum(H.sq_norm(x) ** 2, 1.0), c["m_sq4"]),
+                t=c["t"] + alive.astype(jnp.int32),
             )
 
-        return lax.cond(c["status"] == int(Status.RUNNING), tail, lambda c: c, c)
+        # Half step 1.
+        if c["trace"] is not None:
+            c["trace"] = H.record_trace(c["trace"], c["t"], res)
+        v1 = _half_verdict(c, c["x"], c["t"], res)
+        a1 = v1 == int(Status.RUNNING)
+        c = half_update(c, 1, a1)
+
+        # Half step 2 (skipped entirely when half 1 exited).  Its check
+        # reads the same stale rk_sq but half 1's refreshed ||x||^4.
+        res2 = _init_res(c)
+        res = jnp.where(a1, res2, res)
+        if c["trace"] is not None:
+            c["trace"] = jnp.where(
+                a1, H.record_trace(c["trace"], c["t"], res), c["trace"]
+            )
+        v2 = _half_verdict(c, c["x"], c["t"], res)
+        a2 = a1 & (v2 == int(Status.RUNNING))
+        c = half_update(c, 2, a2)
+
+        # Recurrence tail, committed only while still running.
+        rho2 = H.dot_c(c["rbar0"], c["rk"])
+        betak = rho2 / c["rho"]
+        uk = c["rk"] + betak * c["qk"]
+        pk = uk + betak * (c["qk"] + betak * c["pk"])
+        sel = lambda new, old: jnp.where(a2, new, old)
+        c = dict(
+            c,
+            uk=sel(uk, c["uk"]),
+            pk=sel(pk, c["pk"]),
+            rho=sel(rho2, c["rho"]),
+            rk_mod=sel(rk_mod2, c["rk_mod"]),
+            rk_sq=sel(rk_mod2 * rk_mod2, c["rk_sq"]),
+            residual=res,
+        )
+
+        # Exit status: the first half step's verdict wins, then the second;
+        # NaN anywhere in the recurrence poisons rk_mod2 -> NAN_VALUE
+        # (clcg.cpp's per-step NaN scan, done via propagation).
+        status = jnp.where(
+            ~a1, v1, jnp.where(~a2, v2, int(Status.RUNNING))
+        ).astype(jnp.int32)
+        status = jnp.where(
+            jnp.isnan(rk_mod2) & (status == int(Status.RUNNING)),
+            int(Status.NAN_VALUE),
+            status,
+        ).astype(jnp.int32)
+        return dict(c, status=status)
 
     # ALREADY_OPTIMIZED short-circuit before entering the loop.
     init_res = _init_res(carry)
