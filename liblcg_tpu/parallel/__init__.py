@@ -20,7 +20,7 @@ reductions are mesh-aware through :func:`harness.distributed`.
 """
 
 from .mesh import make_mesh, initialize_distributed
-from .sharded import ShardedSparseOperator
+from .sharded import ShardedBandedOperator, ShardedSparseOperator
 from .stencil import Laplacian3DOperator, ShardedLaplacian3D
 from .api import solve_sharded, shard_system
 
@@ -28,6 +28,7 @@ __all__ = [
     "make_mesh",
     "initialize_distributed",
     "ShardedSparseOperator",
+    "ShardedBandedOperator",
     "Laplacian3DOperator",
     "ShardedLaplacian3D",
     "solve_sharded",

@@ -34,6 +34,7 @@ from jax import lax
 from jax.tree_util import register_pytree_node
 
 from ..operators import LinearOperator
+from ..ops.dia import coo_to_dia
 from ..ops.spmv import coo_to_ell, ell_spmv
 
 
@@ -190,6 +191,149 @@ class ShardedSparseOperator(LinearOperator):
             system.n, system.rows, system.cols, system.vals,
             n_devices=n_devices, **kw,
         )
+
+
+class ShardedBandedOperator(LinearOperator):
+    """Row-partitioned DIA (diagonal-storage) operator — the gather-free
+    sharded form for banded matrices and stencil discretizations.
+
+    Per product: two one-hop ``ppermute`` halo slices of x (halo width =
+    matrix bandwidth, checked <= block size at construction) and a sum of
+    static slices of the extended local window — no index loads, no
+    gathers, communication O(bandwidth) per neighbor.  Values are stored
+    transposed, ``(n_padded, n_diags)``, so the leading axis row-shards.
+    """
+
+    n = None  # shadow the base-class property (logical size attribute)
+
+    def __init__(
+        self,
+        n: int,
+        rows,
+        cols,
+        vals,
+        *,
+        n_devices: int,
+        axis_name: str = "rows",
+        dtype=None,
+    ):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        if dtype is not None:
+            vals = vals.astype(dtype)
+        self.n = int(n)
+        self.n_devices = int(n_devices)
+        self.axis_name = axis_name
+        n_local = -(-n // n_devices)
+        self.n_local = n_local
+        self.n_padded = n_local * n_devices
+        self.shape = (self.n_padded, self.n_padded)
+        self.dtype = jnp.dtype(vals.dtype)
+        self.nnz = int(len(vals))
+
+        offsets, diag_vals = coo_to_dia(self.n_padded, self.n_padded,
+                                        rows, cols, vals)
+        self.offsets = tuple(int(o) for o in offsets)
+        h_l = max(0, -min(self.offsets, default=0))
+        h_r = max(0, max(self.offsets, default=0))
+        if h_l > n_local or h_r > n_local:
+            raise ValueError(
+                f"bandwidth ({h_l},{h_r}) exceeds the block size {n_local}; "
+                "use ShardedSparseOperator for wide patterns"
+            )
+        self.halo = (h_l, h_r)
+        dv = diag_vals.T.copy()              # (n_padded, n_diags)
+        # Unit diagonal on padding rows keeps Jacobi preconditioners finite
+        # (padding x/b are zero, so the rows never influence the solve).
+        if 0 in self.offsets and self.n_padded > n:
+            dv[n:, self.offsets.index(0)] = 1.0
+        self.dia_vals = jnp.asarray(dv)
+
+    def _exchange(self, x, h_l, h_r):
+        """Extended local window [left-halo | x | right-halo]; edge devices
+        receive zeros (out-of-range diagonal values are zero anyway)."""
+        ax = self.axis_name
+        D = self.n_devices
+        parts = []
+        if h_l:
+            parts.append(
+                lax.ppermute(x[-h_l:], ax, perm=[(i, i + 1) for i in range(D - 1)])
+            )
+        parts.append(x)
+        if h_r:
+            parts.append(
+                lax.ppermute(x[:h_r], ax, perm=[(i + 1, i) for i in range(D - 1)])
+            )
+        return jnp.concatenate(parts) if len(parts) > 1 else x
+
+    def _apply(self, vals, x):
+        h_l, h_r = self.halo
+        x_ext = self._exchange(x, h_l, h_r)
+        n_local = x.shape[0]
+        y = None
+        for d, o in enumerate(self.offsets):
+            term = vals[:, d] * x_ext[h_l + o : h_l + o + n_local]
+            y = term if y is None else y + term
+        return y if y is not None else jnp.zeros_like(x)
+
+    def mv(self, x):
+        return self._apply(self.dia_vals, x)
+
+    def cmv(self, x):
+        return self._apply(jnp.conj(self.dia_vals), x)
+
+    def _transpose_apply(self, x, conj: bool):
+        # (A^T x)[j] = sum_d v_d[j - o] x[j - o]: form P = vals * x once,
+        # halo-exchange the whole (rows, n_diags) block with the *swapped*
+        # halo widths, then shift each column by -o.
+        h_l, h_r = self.halo
+        vals = jnp.conj(self.dia_vals) if conj else self.dia_vals
+        n_local = x.shape[0]
+        P = vals * x[:, None]
+        P_ext = self._exchange(P, h_r, h_l)
+        y = None
+        for d, o in enumerate(self.offsets):
+            term = P_ext[h_r - o : h_r - o + n_local, d]
+            y = term if y is None else y + term
+        return y if y is not None else jnp.zeros_like(x)
+
+    def rmv(self, x):
+        return self._transpose_apply(x, conj=False)
+
+    def hmv(self, x):
+        return self._transpose_apply(x, conj=True)
+
+    def diagonal(self):
+        if 0 in self.offsets:
+            return self.dia_vals[:, self.offsets.index(0)]
+        return jnp.zeros((self.n_padded,), dtype=self.dtype)
+
+    @classmethod
+    def from_system(cls, system, *, n_devices: int, **kw):
+        return cls(system.n, system.rows, system.cols, system.vals,
+                   n_devices=n_devices, **kw)
+
+
+def _sharded_banded_flatten(op):
+    return (op.dia_vals,), (
+        op.n, op.n_devices, op.axis_name, op.offsets, op.halo,
+        op.n_local, op.n_padded, op.shape, str(op.dtype), op.nnz,
+    )
+
+
+def _sharded_banded_unflatten(aux, children):
+    obj = object.__new__(ShardedBandedOperator)
+    (obj.dia_vals,) = children
+    (obj.n, obj.n_devices, obj.axis_name, obj.offsets, obj.halo,
+     obj.n_local, obj.n_padded, obj.shape, dtype_str, obj.nnz) = aux
+    obj.dtype = jnp.dtype(dtype_str)
+    return obj
+
+
+register_pytree_node(
+    ShardedBandedOperator, _sharded_banded_flatten, _sharded_banded_unflatten
+)
 
 
 def _sharded_flatten(op):

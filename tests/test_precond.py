@@ -184,3 +184,39 @@ def test_ict_fill_cap(spd_banded):
     fac = incomplete_cholesky(lcg.DenseOperator(A), fill=2)
     counts = np.bincount(np.asarray(fac.l_rows), minlength=n)
     assert counts.max() <= 3  # fill off-diagonals + diagonal
+
+
+def test_dense_cholesky_real(spd_banded):
+    from liblcg_tpu.precond import cholesky, invert_lower_triangle
+
+    A = spd_banded
+    L = np.asarray(cholesky(A))
+    np.testing.assert_allclose(L @ L.T, A, atol=1e-10)
+    Linv = np.asarray(invert_lower_triangle(L))
+    np.testing.assert_allclose(Linv @ L, np.eye(A.shape[0]), atol=1e-10)
+
+
+def test_dense_cholesky_complex_symmetric():
+    from liblcg_tpu.precond import cholesky_symmetric
+
+    rng = np.random.default_rng(3)
+    n = 40
+    M = rng.uniform(-1, 1, (n, n)) + 1j * rng.uniform(-1, 1, (n, n))
+    A = (M + M.T) / 2 + (4 + 0.5j) * np.eye(n)   # complex symmetric, A = A^T
+    L = np.asarray(cholesky_symmetric(A))
+    # unconjugated factorization: L L^T = A (NOT L L^H)
+    np.testing.assert_allclose(L @ L.T, A, atol=1e-10)
+    assert np.max(np.abs(np.triu(L, 1))) == 0
+
+
+def test_dense_cholesky_preconditioner(complex_sym_small):
+    from liblcg_tpu.precond import DenseCholeskyPreconditioner
+
+    A, b, x_true = complex_sym_small
+    M = DenseCholeskyPreconditioner(A, symmetric=True)
+    # Exact factorization => PCG converges in O(1) iterations.
+    res = lcg.solve(lcg.DenseOperator(A), b, method="pcg", M=M,
+                    params=lcg.SolverParams(epsilon=1e-20))
+    assert res.converged
+    assert int(res.iterations) <= 3
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
