@@ -1,0 +1,69 @@
+"""Spectral bound estimation for Chebyshev iteration.
+
+Chebyshev needs an interval [lmin, lmax] enclosing the spectrum.  Two
+estimators:
+
+- :func:`gershgorin_bounds` — closed-form from the Gershgorin circle
+  theorem (diag +- sum of off-diagonal magnitudes per row); conservative,
+  free, exact storage-format-aware row sums for the concrete operators.
+- :func:`power_bound` — a few power iterations for a sharper lmax (device
+  compute, one compile).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def gershgorin_bounds(A) -> Tuple[float, float]:
+    """(lmin, lmax) from Gershgorin circles.  Supports BandedOperator,
+    SparseOperator and DenseOperator (anything exposing its values)."""
+    from ..operators import BandedOperator, DenseOperator, SparseOperator
+
+    if isinstance(A, BandedOperator):
+        vals = np.asarray(A.diag_vals)          # (n_diags, n)
+        diag = (
+            vals[A.offsets.index(0)]
+            if 0 in A.offsets
+            else np.zeros(A.shape[0], vals.dtype)
+        )
+        off = np.sum(np.abs(vals), axis=0) - np.abs(diag)
+    elif hasattr(A, "dia_vals"):                # ShardedBandedOperator
+        vals = np.asarray(A.dia_vals)           # (n_padded, n_diags)
+        diag = np.asarray(A.diagonal())
+        off = np.sum(np.abs(vals), axis=1) - np.abs(diag)
+    elif isinstance(A, SparseOperator) or hasattr(A, "ell_vals"):
+        diag = np.asarray(A.diagonal())
+        off = np.sum(np.abs(np.asarray(A.ell_vals)), axis=1)[: len(diag)] - np.abs(diag)
+    elif isinstance(A, DenseOperator) or hasattr(A, "A"):
+        M = np.asarray(A.A if hasattr(A, "A") else A)
+        diag = np.diagonal(M)
+        off = np.sum(np.abs(M), axis=1) - np.abs(diag)
+    else:
+        raise TypeError(
+            f"gershgorin_bounds: unsupported operator {type(A).__name__}; "
+            "pass explicit lmin/lmax or use power_bound"
+        )
+    dr = np.real(diag)
+    return float(np.min(dr - off)), float(np.max(dr + off))
+
+
+def power_bound(A, n_iter: int = 20, key=None) -> float:
+    """Estimate lmax = ||A||_2 by power iteration (SPD assumed)."""
+    n = A.shape[1]
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    v0 = jax.random.normal(key, (n,), dtype=A.dtype)
+
+    def body(i, v):
+        w = A.mv(v)
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, n_iter, body, v0 / jnp.linalg.norm(v0))
+    lam = jnp.vdot(v, A.mv(v)).real / jnp.vdot(v, v).real
+    # 5% headroom: Chebyshev diverges if the true lmax falls outside.
+    return float(lam) * 1.05

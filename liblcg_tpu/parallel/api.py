@@ -90,6 +90,8 @@ def solve_sharded(
     monitor: Optional[Callable] = None,
     trace_len: int = 0,
     key=None,
+    lmin=None,
+    lmax=None,
     check: bool = False,
 ) -> SolveResult:
     """Solve ``A x = b`` SPMD over a device mesh.
@@ -105,18 +107,15 @@ def solve_sharded(
       (sharded) or a callable applied shard-locally (block-Jacobi style);
     - ``monitor`` receives the *local shard* of x (residual/t are global).
     """
-    from ..solve import _CPLX_METHODS, _REAL_METHODS, canonical_method
+    from ..solve import _resolve_engine, canonical_method
 
     m = canonical_method(method)
     b = jnp.asarray(b)
     is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
-    table = _CPLX_METHODS if is_complex else _REAL_METHODS
-    if m not in table:
-        dom = "complex" if is_complex else "real"
-        raise ValueError(f"method {m!r} is not available in the {dom} domain")
-    fn, needs_M, needs_bounds = table[m]
+    fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
+                                                lmin=lmin, lmax=lmax)
 
     err = params.validate(for_method=m)
     if err is not None:

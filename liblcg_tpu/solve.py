@@ -70,19 +70,55 @@ _ALIASES = {
     "CLCG_PBICG": "pbicg",
 }
 
-REAL_METHODS = tuple(_REAL_METHODS)
+REAL_METHODS = tuple(_REAL_METHODS) + ("chebyshev",)
 COMPLEX_METHODS = tuple(_CPLX_METHODS)
 
 
 def canonical_method(method: str) -> str:
     """Resolve a method name or reference enum spelling to its short name."""
     m = _ALIASES.get(method, method).lower()
-    if m not in _REAL_METHODS and m not in _CPLX_METHODS:
+    if m not in _REAL_METHODS and m not in _CPLX_METHODS and m != "chebyshev":
         raise ValueError(
-            f"unknown solver {method!r}; real methods: {sorted(_REAL_METHODS)}, "
+            f"unknown solver {method!r}; real methods: {sorted(REAL_METHODS)}, "
             f"complex methods: {sorted(_CPLX_METHODS)}"
         )
     return m
+
+
+_CHEB_CACHE: dict = {}
+
+
+def _resolve_engine(m: str, is_complex: bool, A=None, lmin=None, lmax=None):
+    """(engine fn, needs_M, needs_bounds) for a canonical method name.
+
+    Chebyshev gets its spectral interval baked into a cached engine: bounds
+    default to Gershgorin circles of the concrete operator (ops.spectra),
+    and a non-positive lower bound is clamped (Chebyshev needs the interval
+    strictly inside the right half-line for SPD systems).
+    """
+    if m == "chebyshev":
+        if is_complex:
+            raise ValueError("chebyshev is real-domain (SPD systems)")
+        if lmin is None or lmax is None:
+            from .ops.spectra import gershgorin_bounds
+
+            glo, ghi = gershgorin_bounds(A)
+            lmin = glo if lmin is None else lmin
+            lmax = ghi if lmax is None else lmax
+        lmin, lmax = float(lmin), float(lmax)
+        if lmin <= 0.0:
+            lmin = 1e-8 * max(lmax, 1.0)
+        key = (lmin, lmax)
+        fn = _CHEB_CACHE.get(key)
+        if fn is None:
+            fn = partial(_real.chebyshev, lmin=lmin, lmax=lmax)
+            _CHEB_CACHE[key] = fn
+        return fn, False, False
+    table = _CPLX_METHODS if is_complex else _REAL_METHODS
+    if m not in table:
+        dom = "complex" if is_complex else "real"
+        raise ValueError(f"method {m!r} is not available in the {dom} domain")
+    return table[m]
 
 
 _JIT_CACHE: dict = {}
@@ -161,6 +197,8 @@ def solve(
     monitor: Optional[Callable] = None,
     trace_len: int = 0,
     key=None,
+    lmin=None,
+    lmax=None,
     check: bool = False,
 ) -> SolveResult:
     """Solve ``A x = b`` with the selected Krylov method.
@@ -195,11 +233,8 @@ def solve(
     is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
-    table = _CPLX_METHODS if is_complex else _REAL_METHODS
-    if m not in table:
-        dom = "complex" if is_complex else "real"
-        raise ValueError(f"method {m!r} is not available in the {dom} domain")
-    fn, needs_M, needs_bounds = table[m]
+    fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
+                                                lmin=lmin, lmax=lmax)
 
     # Parameter validation (reference entry checks, lcg.cpp:150-155 etc.).
     err = params.validate(for_method=m)
@@ -257,7 +292,7 @@ def solve(
 #: scalars (BB step, line-search state) — all excluded for now.
 BATCHED_METHODS = frozenset(
     {"cg", "pcg", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
-     "bicgstab2", "bicg", "bicg_sym", "pbicg"}
+     "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev"}
 )
 
 
@@ -294,6 +329,8 @@ def solve_batched(
     M=None,
     monitor: Optional[Callable] = None,
     key=None,
+    lmin=None,
+    lmax=None,
     check: bool = False,
 ) -> SolveResult:
     """Solve ``A x_i = b_i`` for a stack of right-hand sides at once.
@@ -329,11 +366,7 @@ def solve_batched(
     is_complex = jnp.issubdtype(B.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
-    table = _CPLX_METHODS if is_complex else _REAL_METHODS
-    if m not in table:
-        dom = "complex" if is_complex else "real"
-        raise ValueError(f"method {m!r} is not available in the {dom} domain")
-    fn, needs_M, _ = table[m]
+    fn, needs_M, _ = _resolve_engine(m, is_complex, A=A, lmin=lmin, lmax=lmax)
 
     err = params.validate(for_method=m)
     if err is not None:

@@ -231,6 +231,64 @@ def pcg_pipelined(A, b, x0=None, *, M, params=SolverParams(), monitor=None, trac
     return _cg_pipelined(A, b, x0, M, params, monitor, trace_len)
 
 
+def chebyshev(A, b, x0=None, *, lmin, lmax, params=SolverParams(),
+              monitor=None, trace_len=0):
+    """Chebyshev iteration (Saad, Iterative Methods alg. 12.1).
+
+    TPU-native addition with no reference counterpart: the recurrence uses
+    NO inner products — the only reduction per iteration is the stopping
+    metric itself, so the serialized-region count per iteration is the
+    minimum possible for a monitored solve.  Requires an enclosing spectral
+    interval [lmin, lmax] (see ``ops.spectra.gershgorin_bounds`` /
+    ``power_bound``); convergence is geometric with the usual Chebyshev
+    rate and, unlike CG, entirely insensitive to dot-product rounding.
+    """
+    A, b, x = _prep(A, b, x0)
+    n = H.dim(b)
+    lmin = jnp.asarray(lmin, b.real.dtype)
+    lmax = jnp.asarray(lmax, b.real.dtype)
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+
+    r = b - A.mv(x)
+    carry = dict(
+        x=x,
+        r=r,
+        d=r / theta,
+        rho=1.0 / sigma1,
+        rk_mod=H.sq_norm(r),
+        m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        t=jnp.asarray(0, jnp.int32),
+        status=H.running_status(),
+        residual=jnp.asarray(0.0, b.real.dtype),
+        trace=H.init_trace(trace_len, b.real.dtype),
+    )
+
+    def residual_fn(c):
+        return H.real_residual(c["rk_mod"], c["m_mod"], n, params.abs_diff)
+
+    def step_fn(c):
+        x = c["x"] + c["d"]
+        r = c["r"] - A.mv(c["d"])
+        rho1 = 1.0 / (2.0 * sigma1 - c["rho"])
+        d = rho1 * c["rho"] * c["d"] + (2.0 * rho1 / delta) * r
+        return dict(
+            c, x=x, r=r, d=d, rho=rho1,
+            rk_mod=H.sq_norm(r),
+            m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        )
+
+    return H.run_loop(
+        carry,
+        residual_fn=residual_fn,
+        step_fn=step_fn,
+        x_of=lambda c: c["x"],
+        params=params,
+        monitor=monitor,
+    )
+
+
 def cgs(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
     """Conjugate gradient squared (Fokkema 1996 alg. 2).  Reference: ``lcgs``
     lcg.cpp:437-612; 2 operator products per iteration, fixed shadow
