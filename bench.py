@@ -84,11 +84,28 @@ def bench_case10k():
         np.asarray(res.x)
         best = min(best, time.perf_counter() - t0)
     avg_err = float(np.sqrt(np.sum((np.asarray(res.x) - answer) ** 2)) / sys_.n)
+
+    # Multi-RHS throughput: 32 systems in one compiled loop.  The
+    # reference's own application domain (geophysical inversion) solves
+    # many right-hand sides against one operator; it can only do them
+    # serially (lcg.h:61).
+    nrhs = 32
+    B = jnp.stack([b * (1.0 + 0.01 * i) for i in range(nrhs)])
+    rb = lcg.solve_batched(A, B, method="cg", params=params)
+    np.asarray(rb.x[0, :4])
+    bbest = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rb = lcg.solve_batched(A, B, method="cg", params=params)
+        np.asarray(rb.x[0, :4])
+        bbest = min(bbest, time.perf_counter() - t0)
+
     return {
         "ms": round(best * 1e3, 2),
         "iterations": int(res.iterations),
         "converged": bool(res.converged and avg_err < 1e-5),
         "avg_err": avg_err,
+        "batched32_ms_per_solve": round(bbest * 1e3 / nrhs, 3),
     }
 
 
@@ -121,8 +138,12 @@ def main():
         out["case10k_cg_wall_ms"] = c10k["ms"]
         out["case10k_iterations"] = c10k["iterations"]
         out["case10k_converged"] = c10k["converged"]
+        out["case10k_batched32_ms_per_solve"] = c10k["batched32_ms_per_solve"]
         if c10k_base:
             out["case10k_vs_baseline"] = round(c10k_base / c10k["ms"], 3)
+            out["case10k_batched_vs_baseline"] = round(
+                c10k_base / c10k["batched32_ms_per_solve"], 2
+            )
     print(json.dumps(out))
 
 
