@@ -53,6 +53,7 @@ from .solve import (
     solve_batched,
 )
 from .precond import (
+    ChebyshevPreconditioner,
     JacobiPreconditioner,
     SSORPreconditioner,
     TriangularPreconditioner,
@@ -101,6 +102,7 @@ __all__ = [
     "REAL_METHODS",
     "COMPLEX_METHODS",
     "JacobiPreconditioner",
+    "ChebyshevPreconditioner",
     "SSORPreconditioner",
     "TriangularPreconditioner",
     "incomplete_cholesky",

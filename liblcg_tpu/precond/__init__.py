@@ -7,7 +7,11 @@ passed into the solver (the ``Mfp`` callback), while *factorization* is a
 library helper the user calls once — the iteration engines never factorize.
 """
 
-from .jacobi import JacobiPreconditioner, SSORPreconditioner
+from .jacobi import (
+    ChebyshevPreconditioner,
+    JacobiPreconditioner,
+    SSORPreconditioner,
+)
 from .incomplete import (
     IncompleteFactorization,
     incomplete_cholesky,
@@ -30,6 +34,7 @@ from .dense import (
 __all__ = [
     "JacobiPreconditioner",
     "SSORPreconditioner",
+    "ChebyshevPreconditioner",
     "IncompleteFactorization",
     "incomplete_cholesky",
     "incomplete_lu",

@@ -15,13 +15,20 @@ from ..operators import LinearOperator
 
 
 class JacobiPreconditioner(LinearOperator):
-    """M^{-1} x = x / diag(A)."""
+    """M^{-1} x = x / diag(A).  Accepts an operator (its ``diagonal()`` is
+    taken) or the diagonal itself as a 1-D array."""
 
     def __init__(self, diag_or_operator):
-        if hasattr(diag_or_operator, "diagonal"):
+        # NOTE: arrays also expose .diagonal(), so dispatch on the operator
+        # type, not the attribute.
+        if isinstance(diag_or_operator, LinearOperator):
             diag = diag_or_operator.diagonal()
         else:
             diag = jnp.asarray(diag_or_operator)
+            if diag.ndim != 1:
+                raise ValueError(
+                    "JacobiPreconditioner expects an operator or a 1-D diagonal"
+                )
         self.inv_diag = 1.0 / diag
         n = self.inv_diag.shape[0]
         self.shape = (n, n)
@@ -61,6 +68,80 @@ def _jac_unflatten(_, children):
 
 
 register_pytree_node(JacobiPreconditioner, _jac_flatten, _jac_unflatten)
+
+
+class ChebyshevPreconditioner(LinearOperator):
+    """Polynomial preconditioner: M^{-1} ~= p_d(A) by ``degree`` steps of
+    Chebyshev iteration on [lmin, lmax].
+
+    TPU-native addition (no reference counterpart): applying M^{-1} costs
+    ``degree`` extra operator products but ZERO inner products, so PCG with
+    this preconditioner performs its global reductions ~(degree+1)x less
+    often per unit of operator work — exactly the trade that wins when
+    reductions are the latency bottleneck (single chip) or ride ICI/DCN
+    psums (mesh).  Bounds default to Gershgorin circles.
+    """
+
+    def __init__(self, A, degree: int = 4, lmin=None, lmax=None):
+        from ..ops.spectra import gershgorin_bounds
+
+        if lmin is None or lmax is None:
+            glo, ghi = gershgorin_bounds(A)
+            lmin = glo if lmin is None else lmin
+            lmax = ghi if lmax is None else lmax
+        lmin, lmax = float(lmin), float(lmax)
+        if lmin <= 0.0:
+            lmin = 1e-2 * max(lmax, 1.0)  # keep the polynomial contractive
+        self._A = A
+        self.degree = int(degree)
+        self.lmin = lmin
+        self.lmax = lmax
+        self.shape = A.shape
+        self.dtype = A.dtype
+
+    def mv(self, r):
+        theta = (self.lmax + self.lmin) / 2.0
+        delta = (self.lmax - self.lmin) / 2.0
+        sigma1 = theta / delta
+        rho = 1.0 / sigma1
+        # Chebyshev iteration on A z = r from z0 = 0 (Saad alg 12.1),
+        # unrolled `degree` times — pure products and axpys.
+        z = jnp.zeros_like(r)
+        res = r
+        d = res / theta
+        for _ in range(self.degree):
+            z = z + d
+            res = res - self._A.mv(d)
+            rho1 = 1.0 / (2.0 * sigma1 - rho)
+            d = rho1 * rho * d + (2.0 * rho1 / delta) * res
+            rho = rho1
+        return z + d
+
+    def rmv(self, x):
+        return self.mv(x)  # polynomial in a symmetric operator
+
+    def hmv(self, x):
+        return self.mv(x)
+
+
+def _cheb_flatten(op):
+    return (op._A,), (op.degree, op.lmin, op.lmax)
+
+
+def _cheb_unflatten(aux, children):
+    obj = object.__new__(ChebyshevPreconditioner)
+    (obj._A,) = children
+    obj.degree, obj.lmin, obj.lmax = aux
+    try:
+        obj.shape = obj._A.shape
+        obj.dtype = obj._A.dtype
+    except (AttributeError, TypeError):
+        obj.shape = None
+        obj.dtype = None
+    return obj
+
+
+register_pytree_node(ChebyshevPreconditioner, _cheb_flatten, _cheb_unflatten)
 
 
 class SSORPreconditioner(LinearOperator):

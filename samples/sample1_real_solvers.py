@@ -6,6 +6,11 @@ against the manufactured solution, and exercises PCG with Jacobi and the
 box-constrained PG/SPG with bounds [1, 2] (sample1.cpp:98-113).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,7 +33,8 @@ def main():
         err = np.max(np.abs(np.asarray(res.x) - x_true))
         print(f"{method:10s} {res!r}  max_diff={err:.3e}")
 
-    M = lcg.JacobiPreconditioner(1.0 / np.einsum("ij,ij->j", K, K))
+    # diag(K^T K) — the sample1.cpp:98-107 Jacobi recipe.
+    M = lcg.JacobiPreconditioner(np.einsum("ij,ij->j", K, K))
     res = lcg.solve(A, b, method="pcg", M=M, params=params)
     print(f"{'pcg':10s} {res!r}  max_diff="
           f"{np.max(np.abs(np.asarray(res.x) - x_true)):.3e}")

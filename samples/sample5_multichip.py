@@ -1,16 +1,23 @@
 """SPMD solve over a device mesh — the capability the reference never had.
 
-Runs on whatever devices are visible; to simulate a pod slice on CPU:
-    JAX_PLATFORMS=cpu python samples/sample5_multichip.py
-(the script forces an 8-device CPU mesh when only one device is visible).
+Runs on whatever devices are visible; to simulate an 8-device slice on CPU:
+    python samples/sample5_multichip.py --virtual
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
 
 import numpy as np
 import jax
 
 
 def main():
-    if len(jax.devices()) == 1:
+    if "--virtual" in sys.argv:
+        # Must happen before any backend initialization.
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
     jax.config.update("jax_enable_x64", True)

@@ -97,3 +97,18 @@ def test_progress_printer_with_stop(spd_small):
     res = lcg.solve(lcg.DenseOperator(A), b, monitor=mon)
     assert res.status == lcg.Status.STOP
     assert int(res.iterations) == 5
+
+
+def test_chebyshev_preconditioner_cuts_iterations(case_10k):
+    sys_, answer = case_10k
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols, sys_.vals)
+    b = jnp.asarray(sys_.b)
+    P = lcg.SolverParams(epsilon=1e-12)
+    plain = lcg.solve(A, b, params=P)
+    M = lcg.ChebyshevPreconditioner(A, degree=6)
+    pcg = lcg.solve(A, b, method="pcg", M=M, params=P)
+    assert pcg.converged
+    # degree-6 polynomial preconditioning: ~6x fewer global reductions.
+    assert int(pcg.iterations) * 5 < int(plain.iterations)
+    err = np.sqrt(np.sum((np.asarray(pcg.x) - answer) ** 2)) / sys_.n
+    assert err < 1e-5
