@@ -67,6 +67,8 @@ from .utils import io
 from . import parallel
 from .parallel import (
     Laplacian3DOperator,
+    ShardedStencil3D,
+    Stencil3DOperator,
     ShardedLaplacian3D,
     ShardedSparseOperator,
     make_mesh,
@@ -121,6 +123,8 @@ __all__ = [
     "ShardedSparseOperator",
     "ShardedLaplacian3D",
     "Laplacian3DOperator",
+    "Stencil3DOperator",
+    "ShardedStencil3D",
     "make_mesh",
     "solve_sharded",
 ]

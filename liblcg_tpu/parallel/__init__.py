@@ -21,7 +21,12 @@ reductions are mesh-aware through :func:`harness.distributed`.
 
 from .mesh import make_mesh, initialize_distributed
 from .sharded import ShardedBandedOperator, ShardedSparseOperator
-from .stencil import Laplacian3DOperator, ShardedLaplacian3D
+from .stencil import (
+    Laplacian3DOperator,
+    ShardedLaplacian3D,
+    ShardedStencil3D,
+    Stencil3DOperator,
+)
 from .api import solve_sharded, shard_system
 
 __all__ = [
@@ -31,6 +36,8 @@ __all__ = [
     "ShardedBandedOperator",
     "Laplacian3DOperator",
     "ShardedLaplacian3D",
+    "Stencil3DOperator",
+    "ShardedStencil3D",
     "solve_sharded",
     "shard_system",
 ]

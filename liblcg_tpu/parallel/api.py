@@ -14,8 +14,7 @@ parallelism is OpenMP threads or one GPU).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Union
+from typing import Callable, Optional
 
 import numpy as np
 import jax

@@ -25,8 +25,6 @@ sample8.cu:142-173).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

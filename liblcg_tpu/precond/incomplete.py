@@ -26,7 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
-from .triangular import LevelSchedule, TriangularPreconditioner, level_schedule
+from .triangular import TriangularPreconditioner, level_schedule
 
 
 def _coo_from_operator(A) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:

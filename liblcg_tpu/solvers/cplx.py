@@ -23,8 +23,6 @@ deterministic (pass ``key=`` to vary).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -14,8 +14,6 @@ callback, lcg.h:44-45).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax.numpy as jnp
 from jax import lax
 

@@ -246,3 +246,60 @@ def test_sharded_banded_pcg_padding(banded_system):
     res = solve_sharded(A, b, method="pcg", M=M, params=PARAMS)
     assert res.converged
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+
+
+def test_stencil3d_variable_coefficients_match_dense():
+    """General 7-point stencil (mv and exact transpose) vs an explicitly
+    assembled matrix, including an unsymmetric advection-like term."""
+    from liblcg_tpu.parallel import Stencil3DOperator
+
+    rng = np.random.default_rng(5)
+    nz, ny, nx = 4, 5, 3
+    n = nz * ny * nx
+    shape = (nz, ny, nx)
+    coeffs = {k: rng.normal(size=shape) for k in
+              ("c0", "cxm", "cxp", "cym", "cyp", "czm", "czp")}
+    op = Stencil3DOperator(nz, ny, nx, **coeffs)
+
+    dense = np.zeros((n, n))
+    idx = lambda z, y, x: (z * ny + y) * nx + x
+    cg = {k: np.asarray(getattr(op, k)).reshape(shape) for k in coeffs}
+    for z in range(nz):
+        for y in range(ny):
+            for x in range(nx):
+                i = idx(z, y, x)
+                dense[i, i] = cg["c0"][z, y, x]
+                for k, (dz, dy, dx) in (("czm", (-1, 0, 0)), ("czp", (1, 0, 0)),
+                                        ("cym", (0, -1, 0)), ("cyp", (0, 1, 0)),
+                                        ("cxm", (0, 0, -1)), ("cxp", (0, 0, 1))):
+                    zz, yy, xx = z + dz, y + dy, x + dx
+                    if 0 <= zz < nz and 0 <= yy < ny and 0 <= xx < nx:
+                        dense[i, idx(zz, yy, xx)] = cg[k][z, y, x]
+    v = rng.normal(size=n)
+    np.testing.assert_allclose(np.asarray(op.mv(jnp.asarray(v))), dense @ v,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmv(jnp.asarray(v))), dense.T @ v,
+                               atol=1e-12)
+
+
+def test_diffusion_operator_spd_and_sharded():
+    """-div(kappa grad) via harmonic-mean faces: SPD, solvable, and the
+    sharded variant matches the single-device solve."""
+    from liblcg_tpu.parallel import ShardedStencil3D, Stencil3DOperator
+
+    rng = np.random.default_rng(6)
+    nz, ny, nx = 16, 6, 5
+    kappa = 10.0 ** rng.uniform(-1, 1, (nz, ny, nx))   # heterogeneous
+    op = Stencil3DOperator.diffusion(kappa, dtype=np.float64)
+    n = nz * ny * nx
+    x_true = rng.uniform(1, 2, n)
+    b = np.asarray(op.mv(jnp.asarray(x_true)))
+    ref = lcg.solve(op, b, params=PARAMS)
+    assert ref.converged
+    np.testing.assert_allclose(np.asarray(ref.x), x_true, atol=1e-5)
+
+    sh = ShardedStencil3D(op, n_devices=8)
+    res = solve_sharded(sh, b, method="cg", params=PARAMS)
+    assert res.converged
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-5)
