@@ -1,0 +1,191 @@
+"""Whole-solve Pallas kernel: the entire CG iteration in VMEM.
+
+For systems whose full solver state fits on-chip (DIA values + 4 vectors
+inside ~16 MB of VMEM — roughly n <= 400K at f32 with a handful of
+diagonals), the idiomatic TPU form of a Krylov solve is not a sequence of
+XLA regions at all: it is ONE kernel that keeps x/r/d resident in VMEM and
+runs the complete while-loop internally.  Every per-iteration cost that
+dominates small solves — region launch latency, HBM round-trips for
+40 KB vectors, reduce/broadcast pipeline flushes — disappears; the solve
+costs one kernel launch plus pure VPU arithmetic.
+
+The matrix is DIA (shifted-diagonal) storage, so the product is static
+lane-shifted slices of a zero-padded x image — no gathers (TPU has no fast
+gather).  Stopping follows the reference semantics (lcg.cpp:186-209):
+relative ``||r||^2 / max(||x||^2, 1)`` or absolute ``sqrt(||r||^2)/n``.
+
+float32 only: Mosaic has no f64.  Use the standard engine for f64 parity
+runs; this kernel is the speed path (pair with ``reduce_dtype`` thinking —
+the dots here accumulate in f32 over VMEM-resident data).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: VMEM budget check: leave headroom under the ~16 MB per-core VMEM.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def fits_in_vmem(n: int, n_diags: int, dtype=jnp.float32) -> bool:
+    item = jnp.dtype(dtype).itemsize
+    vecs = 5 * n * item                    # x, r (as x_ext), d, Ad, b
+    mat = n_diags * n * item
+    return (vecs + mat) < _VMEM_BUDGET_BYTES
+
+
+def _cg_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,
+               vals_ref, b_ref, x0_ref,
+               x_out, t_out, res_out,
+               d_ref, g_ext_ref, ad_ref):
+    """CG on A x = b with A in DIA storage, everything VMEM-resident.
+
+    Layout: vectors are (1, n); ``g_ext_ref`` holds the zero-padded
+    gradient image (1, pad_l + n + pad_r) so the product A d and the
+    d-update read static lane-shifted slices.  To keep a single padded
+    image, the kernel iterates on the gradient g = A x - b (CG's ``gk``,
+    lcg.cpp:174) and directions d; the product uses d's own padded image
+    via the same scratch (written each iteration).
+    """
+    # init: g0 = A x0 - b, d0 = -g0  (lcg.cpp:171-183)
+    x = x0_ref[...]
+
+    def dia_mv(v_ext):
+        acc = None
+        for i, o in enumerate(offsets):
+            term = vals_ref[i : i + 1, :] * v_ext[:, pad_l + o : pad_l + o + n]
+            acc = term if acc is None else acc + term
+        return acc
+
+    # Build padded image of x0 in scratch, compute g0.
+    g_ext_ref[...] = jnp.zeros_like(g_ext_ref)
+    g_ext_ref[:, pad_l : pad_l + n] = x
+    g0 = dia_mv(g_ext_ref[...]) - b_ref[...]
+    d_ref[...] = -g0
+    # Re-purpose the padded scratch for the current direction d.
+    g_ext_ref[:, pad_l : pad_l + n] = -g0
+
+    gk_mod0 = jnp.sum(g0 * g0)
+    x_mod0 = jnp.maximum(jnp.sum(x * x), 1.0)
+
+    def metric(gmod, xmod):
+        if abs_diff:
+            return jnp.sqrt(gmod) / n
+        return gmod / xmod
+
+    def cond(c):
+        x, g, gmod, xmod, t = c
+        return (metric(gmod, xmod) > eps) & (t < max_iter)
+
+    def body(c):
+        x, g, gmod, xmod, t = c
+        ad = dia_mv(g_ext_ref[...])
+        d = d_ref[...]
+        dTAd = jnp.sum(d * ad)
+        ak = gmod / dTAd
+        x = x + ak * d
+        g = g + ak * ad
+        g1mod = jnp.sum(g * g)
+        betak = g1mod / gmod
+        d = betak * d - g
+        d_ref[...] = d
+        g_ext_ref[:, pad_l : pad_l + n] = d
+        return x, g, g1mod, jnp.maximum(jnp.sum(x * x), 1.0), t + 1
+
+    x, g, gmod, xmod, t = lax.while_loop(
+        cond, body, (x, g0, gk_mod0, x_mod0, jnp.int32(0))
+    )
+    x_out[...] = x
+    t_out[0, 0] = t
+    res_out[0, 0] = metric(gmod, xmod)
+
+
+def solve_cg_vmem(A, b, x0=None, *, params=None, interpret: bool = False):
+    """Public entry: whole-solve CG kernel for a :class:`BandedOperator`.
+
+    Falls back politely: raises ValueError when the operator is not DIA or
+    the state would not fit in VMEM — callers then use the standard
+    ``solve(..., method="cg")`` path.  Returns a ``SolveResult``-compatible
+    (x, iterations, residual) triple in float32.
+    """
+    from ..operators import BandedOperator
+    from ..types import DEFAULT_PARAMS
+
+    if not isinstance(A, BandedOperator):
+        raise ValueError("solve_cg_vmem needs a BandedOperator (DIA storage)")
+    n = A.shape[0]
+    if not fits_in_vmem(n, A.n_diagonals):
+        raise ValueError(
+            f"state for n={n}, {A.n_diagonals} diagonals exceeds the VMEM "
+            "budget; use solve(..., method='cg')"
+        )
+    params = params or DEFAULT_PARAMS
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    return pallas_cg_dia(
+        A.offsets, A.diag_vals, b, x0, n=n, eps=params.epsilon,
+        max_iter=params.effective_max_iterations(),
+        abs_diff=bool(params.abs_diff), interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "eps", "max_iter", "abs_diff", "interpret"),
+)
+def pallas_cg_dia(
+    offsets: Tuple[int, ...],
+    dia_vals: jnp.ndarray,           # (n_diags, n) float32
+    b: jnp.ndarray,                  # (n,)
+    x0: jnp.ndarray,                 # (n,)
+    *,
+    n: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Run the whole-solve CG kernel.  Returns (x, iterations, residual)."""
+    pad_l = max(0, -min(offsets, default=0))
+    pad_r = max(0, max(offsets, default=0))
+    dt = jnp.float32
+    vals = dia_vals.astype(dt)
+    b2 = b.astype(dt).reshape(1, n)
+    x02 = x0.astype(dt).reshape(1, n)
+
+    kernel = functools.partial(
+        _cg_kernel, offsets, pad_l, pad_r, n, float(eps), max_iter, abs_diff
+    )
+    x, t, res = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dt),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dt),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n), dt),                      # d
+            pltpu.VMEM((1, pad_l + n + pad_r), dt),      # padded direction image
+            pltpu.VMEM((1, n), dt),                      # (reserved) Ad
+        ],
+        interpret=interpret,
+    )(vals, b2, x02)
+    return x.reshape(n), t[0, 0], res[0, 0]

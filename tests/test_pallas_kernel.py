@@ -1,0 +1,55 @@
+"""Whole-solve Pallas CG kernel (VMEM-resident) — interpret-mode tests.
+
+The kernel keeps the complete solver state in VMEM and runs the entire
+while-loop inside one pallas_call; on CPU it runs through the Pallas
+interpreter, which validates the kernel logic (ref mutation inside
+lax.while_loop, lane-shifted DIA product, SMEM scalar outputs).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import liblcg_tpu as lcg
+from liblcg_tpu.ops.pallas_cg import fits_in_vmem, solve_cg_vmem
+
+
+def test_kernel_matches_engine_on_case10k(case_10k):
+    sys_, answer = case_10k
+    A = lcg.BandedOperator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                           sys_.vals.astype(np.float32))
+    assert fits_in_vmem(sys_.n, A.n_diagonals)
+    params = lcg.SolverParams(epsilon=1e-11)
+    x, t, res = solve_cg_vmem(A, jnp.asarray(sys_.b, jnp.float32),
+                              params=params, interpret=True)
+    ref = lcg.solve(A, jnp.asarray(sys_.b, jnp.float32), params=params)
+    assert abs(int(t) - int(ref.iterations)) <= 2
+    err = np.sqrt(np.sum((np.asarray(x, np.float64) - answer) ** 2)) / sys_.n
+    assert err < 1e-5
+
+
+def test_kernel_small_banded():
+    rng = np.random.default_rng(0)
+    n = 256
+    main = 4.0 + rng.uniform(0, 1, n)
+    off = rng.uniform(-1, 1, n - 1)
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([main, off, off]).astype(np.float32)
+    x_true = rng.uniform(1, 2, n).astype(np.float32)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    b = dense @ x_true
+    A = lcg.BandedOperator(n, n, rows, cols, vals)
+    x, t, res = solve_cg_vmem(A, b, params=lcg.SolverParams(epsilon=1e-12),
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-3)
+    assert int(t) > 0
+
+
+def test_kernel_rejects_oversize_and_wrong_type():
+    assert not fits_in_vmem(10_000_000, 19)
+    rng = np.random.default_rng(1)
+    A = lcg.DenseOperator(np.eye(8, dtype=np.float32))
+    with pytest.raises(ValueError):
+        solve_cg_vmem(A, np.ones(8, np.float32))
