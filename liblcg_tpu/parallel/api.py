@@ -69,10 +69,7 @@ def _carry_specs(fn, A_struct_op, b_dtype, n_local, axis, kwargs):
             return P()
         return P(axis)
 
-    return {k: spec_of(k, v) for k, v in shapes.items()}, set(shapes.keys())
-
-
-_SHARDED_CACHE: dict = {}
+    return {k: spec_of(k, v) for k, v in shapes.items()}
 
 
 def solve_sharded(
@@ -189,7 +186,7 @@ def solve_sharded(
     dummy_A = MatrixFreeOperator(
         lambda v: v, n=max(n_local, 2), dtype=bp.dtype
     )
-    out_specs, carry_keys = _carry_specs(
+    out_specs = _carry_specs(
         fn, dummy_A, bp.dtype, n_local, axis, struct_kwargs
     )
 

@@ -292,7 +292,7 @@ def solve(
 #: scalars (BB step, line-search state) — all excluded for now.
 BATCHED_METHODS = frozenset(
     {"cg", "pcg", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
-     "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev"}
+     "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev", "pg"}
 )
 
 
@@ -327,6 +327,8 @@ def solve_batched(
     method: str = "cg",
     params: SolverParams = DEFAULT_PARAMS,
     M=None,
+    lower=None,
+    upper=None,
     monitor: Optional[Callable] = None,
     key=None,
     lmin=None,
@@ -366,21 +368,24 @@ def solve_batched(
     is_complex = jnp.issubdtype(B.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
-    fn, needs_M, _ = _resolve_engine(m, is_complex, A=A, lmin=lmin, lmax=lmax)
+    fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
+                                                lmin=lmin, lmax=lmax)
 
     err = params.validate(for_method=m)
     if err is not None:
         return _error_result(B if X0 is None else X0, err)
     if needs_M and M is None:
         return _error_result(B, Status.NULL_PRECONDITION_MATRIX)
+    if needs_bounds and (lower is None or upper is None):
+        return _error_result(B, Status.INVALID_POINTER)
     if is_complex and not jnp.issubdtype(B.dtype, jnp.complexfloating):
         B = B.astype(A.dtype)
     X0_arr = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, dtype=B.dtype)
     takes_key = is_complex and m in ("cgs", "bicgstab")
     M_static = needs_M and not isinstance(M, LinearOperator)
 
-    cache_key = ("batched", fn, params, monitor, needs_M, takes_key,
-                 M if M_static else None)
+    cache_key = ("batched", fn, params, monitor, needs_M, needs_bounds,
+                 takes_key, M if M_static else None)
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is None:
         def run(A_t, B_t, X0_t, *extras):
@@ -393,6 +398,10 @@ def solve_batched(
                 else:
                     kwargs["M"] = _VmappedOperator(extras[i])
                     i += 1
+            if needs_bounds:
+                kwargs["lower"] = extras[i]
+                kwargs["upper"] = extras[i + 1]
+                i += 2
             if takes_key:
                 kwargs["key"] = extras[i]
             with H.batched(), H.reduction_dtype(params.reduce_dtype):
@@ -404,6 +413,10 @@ def solve_batched(
     extras = []
     if needs_M and not M_static:
         extras.append(M)
+    if needs_bounds:
+        rdt = B.real.dtype
+        extras.append(jnp.asarray(lower, dtype=rdt))
+        extras.append(jnp.asarray(upper, dtype=rdt))
     if takes_key:
         extras.append(jax.random.PRNGKey(1234) if key is None else key)
 

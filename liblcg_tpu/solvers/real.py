@@ -676,7 +676,9 @@ def pg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, trac
     carry = dict(
         x=x,
         gk=gk,
-        alpha=jnp.asarray(params.step, b.dtype),
+        # full_like the reduction result so the BB step is per-system
+        # under batched solves (shape (nrhs, 1)) and scalar otherwise.
+        alpha=jnp.full_like(H.sq_norm(gk), params.step).astype(b.dtype),
         gk_mod=H.sq_norm(gk),
         m_mod=jnp.maximum(H.sq_norm(x), 1.0),
         t=jnp.asarray(0, jnp.int32),

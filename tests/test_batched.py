@@ -149,3 +149,25 @@ def test_batched_sparse_operator(case_10k):
     x = np.asarray(res.x)
     assert np.sqrt(np.sum((x[0] - answer) ** 2)) / sys_.n < 1e-5
     assert np.sqrt(np.sum((x[1] - 2 * answer) ** 2)) / sys_.n < 2e-5
+
+
+def test_batched_pg_box_constrained(spd):
+    """Multi-RHS projected gradient with shared box bounds."""
+    A, B, X_true = spd  # X_true rows in [1, 2]
+    n = B.shape[1]
+    res = lcg.solve_batched(
+        lcg.DenseOperator(A), B, method="pg",
+        lower=np.full(n, 1.0), upper=np.full(n, 2.0),
+        params=lcg.SolverParams(epsilon=1e-10, max_iterations=3000),
+    )
+    x = np.asarray(res.x)
+    assert np.all(x >= 1.0 - 1e-10) and np.all(x <= 2.0 + 1e-10)
+    np.testing.assert_allclose(x, X_true, atol=5e-2)
+    assert np.all(np.asarray(res.status_code) >= 0)
+
+
+def test_batched_pg_missing_bounds(spd):
+    A, B, _ = spd
+    res = lcg.solve_batched(lcg.DenseOperator(A), B, method="pg")
+    assert lcg.Status(int(np.asarray(res.status_code).reshape(-1)[0])) == \
+        lcg.Status.INVALID_POINTER

@@ -303,3 +303,27 @@ def test_diffusion_operator_spd_and_sharded():
     assert res.converged
     assert int(res.iterations) == int(ref.iterations)
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-5)
+
+
+def test_sharded_chebyshev_and_reduce_dtype(banded_system):
+    """Chebyshev (auto Gershgorin bounds) and mixed-precision reductions
+    through the SPMD path."""
+    from liblcg_tpu.parallel import ShardedBandedOperator
+
+    n, rows, cols, vals, b, x_true = banded_system
+    A = ShardedBandedOperator(n, rows, cols, vals, n_devices=8)
+    res = solve_sharded(
+        A, b, method="chebyshev",
+        params=lcg.SolverParams(epsilon=1e-12, hard_iteration_cap=100000),
+    )
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
+
+    A32 = ShardedBandedOperator(n, rows, cols, vals.astype(np.float32),
+                                n_devices=8)
+    res32 = solve_sharded(
+        A32, b.astype(np.float32), method="cg",
+        params=lcg.SolverParams(epsilon=1e-10, reduce_dtype="float64"),
+    )
+    assert res32.converged
+    assert res32.x.dtype == jnp.float32

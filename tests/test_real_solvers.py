@@ -180,3 +180,13 @@ def test_solver_name_aliases():
     assert lcg.canonical_method("CLCG_TFQMR") == "tfqmr"
     with pytest.raises(ValueError):
         lcg.canonical_method("nope")
+
+
+def test_check_raises_on_failure(spd_small):
+    A, b, _ = spd_small
+    with pytest.raises(lcg.LcgError):
+        lcg.solve(lcg.DenseOperator(A), b, check=True,
+                  params=lcg.SolverParams(max_iterations=1, epsilon=1e-14))
+    # success statuses never raise
+    res = lcg.solve(lcg.DenseOperator(A), b, check=True)
+    assert res.converged
