@@ -292,7 +292,8 @@ def solve(
 #: scalars (BB step, line-search state) — all excluded for now.
 BATCHED_METHODS = frozenset(
     {"cg", "pcg", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
-     "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev", "pg"}
+     "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev", "pg",
+     "tfqmr"}
 )
 
 
@@ -381,7 +382,7 @@ def solve_batched(
     if is_complex and not jnp.issubdtype(B.dtype, jnp.complexfloating):
         B = B.astype(A.dtype)
     X0_arr = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, dtype=B.dtype)
-    takes_key = is_complex and m in ("cgs", "bicgstab")
+    takes_key = is_complex and m in ("cgs", "bicgstab", "tfqmr")
     M_static = needs_M and not isinstance(M, LinearOperator)
 
     cache_key = ("batched", fn, params, monitor, needs_M, needs_bounds,

@@ -324,11 +324,14 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
     max_iter = params.effective_max_iterations()
     eps = params.epsilon
     rdt = b.real.dtype
+    is_batched = H.batch_active()
+    if is_batched and trace_len > 0:
+        raise ValueError("trace_len > 0 is not supported for batched solves")
 
     Ax = A.mv(x)
     rk = b - Ax
     rbar0 = _shadow_residual(rk, key)
-    rk_inner = H.sq_norm(rk)  # |<r,r>| == ||r||^2 (real scalar)
+    rk_inner = H.sq_norm(rk)  # |<r,r>| == ||r||^2 (real; (nrhs,1) batched)
 
     carry = dict(
         x=x,
@@ -342,12 +345,14 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
         rk_mod=rk_inner,            # module of <r,r>, carried across iters
         rk_sq=rk_inner * rk_inner,  # reference rk_square = ||r||^4
         m_sq4=jnp.maximum(H.sq_norm(x) ** 2, 1.0),
-        theta=jnp.asarray(0.0, rdt),
+        # Scalars shaped like the reductions so batched solves get a
+        # per-system copy ((nrhs, 1)) and plain solves stay 0-D.
+        theta=jnp.zeros(rk_inner.shape, rdt),
         tao=rk_inner,
-        eta=jnp.asarray(0.0, b.dtype),
-        t=jnp.asarray(0, jnp.int32),
-        status=H.running_status(),
-        residual=jnp.asarray(0.0, rdt),
+        eta=jnp.zeros(rk_inner.shape, b.dtype),
+        t=jnp.zeros(rk_inner.shape, jnp.int32),
+        status=jnp.full(rk_inner.shape, int(Status.RUNNING), jnp.int32),
+        residual=jnp.zeros(rk_inner.shape, rdt),
         trace=H.init_trace(trace_len, rdt),
     )
 
@@ -358,7 +363,8 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
         return c["rk_sq"] / c["m_sq4"]
 
     def cond_fn(c):
-        return (c["status"] == int(Status.RUNNING)) & (c["t"] <= max_iter)
+        alive = (c["status"] == int(Status.RUNNING)) & (c["t"] <= max_iter)
+        return jnp.any(alive) if is_batched else alive
 
     def _half_verdict(c, x, t, res):
         """Exit verdict at one half step (monitor -> eps -> max-iter)."""
@@ -392,8 +398,14 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
         rk = c["rk"] - alpha * Auq
         rk_mod2 = H.sq_norm(rk)
         # rk/qk are committed before the checks, like the reference's
-        # in-place array updates (clcg.cpp:766-780).
-        c = dict(c, qk=qk, rk=rk)
+        # in-place array updates (clcg.cpp:766-780); frozen systems
+        # (batched mode) keep theirs.
+        frozen_ok = c["status"] == int(Status.RUNNING)
+        c = dict(
+            c,
+            qk=jnp.where(frozen_ok, qk, c["qk"]),
+            rk=jnp.where(frozen_ok, rk, c["rk"]),
+        )
 
         # Both half-step checks read the SAME stale residual — rk_square is
         # only refreshed after the pair (clcg.cpp:784-785, 853-854).
@@ -425,11 +437,13 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
                 t=c["t"] + alive.astype(jnp.int32),
             )
 
-        # Half step 1.
+        # Half step 1.  Systems already finished in an earlier outer
+        # iteration (batched mode) stay frozen and keep their status.
+        was_running = c["status"] == int(Status.RUNNING)
         if c["trace"] is not None:
             c["trace"] = H.record_trace(c["trace"], c["t"], res)
         v1 = _half_verdict(c, c["x"], c["t"], res)
-        a1 = v1 == int(Status.RUNNING)
+        a1 = (v1 == int(Status.RUNNING)) & was_running
         c = half_update(c, 1, a1)
 
         # Half step 2 (skipped entirely when half 1 exited).  Its check
@@ -457,12 +471,13 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
             rho=sel(rho2, c["rho"]),
             rk_mod=sel(rk_mod2, c["rk_mod"]),
             rk_sq=sel(rk_mod2 * rk_mod2, c["rk_sq"]),
-            residual=res,
+            residual=jnp.where(was_running, res, c["residual"]),
         )
 
         # Exit status: the first half step's verdict wins, then the second;
         # NaN anywhere in the recurrence poisons rk_mod2 -> NAN_VALUE
-        # (clcg.cpp's per-step NaN scan, done via propagation).
+        # (clcg.cpp's per-step NaN scan, done via propagation).  Systems
+        # that had already exited keep their recorded status.
         status = jnp.where(
             ~a1, v1, jnp.where(~a2, v2, int(Status.RUNNING))
         ).astype(jnp.int32)
@@ -471,6 +486,7 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
             int(Status.NAN_VALUE),
             status,
         ).astype(jnp.int32)
+        status = jnp.where(was_running, status, c["status"]).astype(jnp.int32)
         return dict(c, status=status)
 
     # ALREADY_OPTIMIZED short-circuit before entering the loop.
@@ -486,6 +502,13 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
         int(Status.REACHED_MAX_ITERATIONS),
         carry["status"],
     ).astype(jnp.int32)
+    if is_batched:
+        carry = dict(
+            carry,
+            status=carry["status"].reshape(-1),
+            t=carry["t"].reshape(-1),
+            residual=carry["residual"].reshape(-1),
+        )
     return H.finalize(carry)
 
 

@@ -124,7 +124,8 @@ def test_batched_complex_cgs_with_key():
 def test_batched_rejects_unsupported(spd):
     A, B, _ = spd
     with pytest.raises(ValueError):
-        lcg.solve_batched(lcg.DenseOperator(A), B, method="tfqmr")
+        lcg.solve_batched(lcg.DenseOperator(A), B, method="spg",
+                          lower=np.zeros(B.shape[1]), upper=np.ones(B.shape[1]))
     with pytest.raises(ValueError):
         # bicgstab2's abs_diff mid-iteration exit is not batchable
         lcg.solve_batched(lcg.DenseOperator(A), B, method="bicgstab2",
@@ -171,3 +172,21 @@ def test_batched_pg_missing_bounds(spd):
     res = lcg.solve_batched(lcg.DenseOperator(A), B, method="pg")
     assert lcg.Status(int(np.asarray(res.status_code).reshape(-1)[0])) == \
         lcg.Status.INVALID_POINTER
+
+
+def test_batched_tfqmr():
+    rng = np.random.default_rng(12)
+    n = 36
+    Mx = rng.uniform(-1, 1, (n, n)) + 1j * rng.uniform(-1, 1, (n, n))
+    A = (Mx + Mx.T) / 2 + (3 + 0.5j) * np.eye(n)
+    X_true = rng.uniform(1, 2, (3, n)) + 1j * rng.uniform(-1, 1, (3, n))
+    B = X_true @ A.T
+    res = lcg.solve_batched(lcg.DenseOperator(A), B, method="tfqmr",
+                            params=lcg.SolverParams(epsilon=1e-18))
+    assert np.all(np.asarray(res.status_code) >= 0)
+    np.testing.assert_allclose(np.asarray(res.x), X_true, atol=1e-4)
+    # iteration parity vs single solves (tfqmr counts half steps)
+    for i in range(3):
+        single = lcg.solve(lcg.DenseOperator(A), B[i], method="tfqmr",
+                           params=lcg.SolverParams(epsilon=1e-18))
+        assert abs(int(res.iterations[i]) - int(single.iterations)) <= 4
