@@ -293,7 +293,7 @@ def solve(
 BATCHED_METHODS = frozenset(
     {"cg", "pcg", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
      "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev", "pg",
-     "tfqmr"}
+     "spg", "tfqmr"}
 )
 
 

@@ -726,23 +726,31 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, tra
     here it is a bounded ``lax.while_loop`` capped at
     ``params.max_backtracks`` steps (at the default beta=0.9 that allows a
     step reduction below 2e-3 — far past where the reference would accept).
+
+    Batched mode: the BB step, objective ring and line search are
+    per-system; the inner loop runs until every system's Armijo test
+    passes, with satisfied systems frozen.
     """
     A, b, x = _prep(A, b, x0)
     n = H.dim(b)  # global length (psum-aware when sharded)
     lower = jnp.asarray(lower, dtype=b.dtype)
     upper = jnp.asarray(upper, dtype=b.dtype)
     maxi_m = params.maxi_m
+    batched = H.batch_active()
 
     x = jnp.clip(x, lower, upper)
     Ax = A.mv(x)
     gk = Ax - b
     qk0 = H.dot_u(0.5 * x, Ax) - H.dot_u(b, x)   # lcg.cpp:1305-1308
-    qk_m = jnp.full((maxi_m,), -1e30, dtype=b.dtype).at[0].set(qk0)
+    # Objective ring: (maxi_m,) plain, (nrhs, maxi_m) batched.
+    qk_m = jnp.full(qk0.shape[:-1] + (maxi_m,) if batched else (maxi_m,),
+                    -1e30, dtype=b.real.dtype)
+    qk_m = qk_m.at[..., 0].set(qk0[..., 0] if batched else qk0)
 
     carry = dict(
         x=x,
         gk=gk,
-        lam=jnp.asarray(params.step, b.dtype),
+        lam=jnp.full_like(qk0, params.step),
         qk_m=qk_m,
         gk_mod=H.sq_norm(gk),
         m_mod=jnp.maximum(H.sq_norm(x), 1.0),
@@ -758,7 +766,7 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, tra
     def step_fn(c):
         dk = jnp.clip(c["x"] - c["lam"] * c["gk"], lower, upper) - c["x"]
         gd = H.dot_u(c["gk"], dk)
-        maxi_qk = jnp.max(c["qk_m"])
+        maxi_qk = jnp.max(c["qk_m"], axis=-1, keepdims=batched)
 
         def ls_eval(alpha):
             m_new = c["x"] + alpha * dk
@@ -766,20 +774,27 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, tra
             qk = H.dot_u(0.5 * m_new, Ad) - H.dot_u(b, m_new)
             return m_new, Ad, qk
 
-        alpha0 = jnp.asarray(1.0, b.dtype)
+        alpha0 = jnp.full_like(gd, 1.0)
         m_new0, Ad0, qk0 = ls_eval(alpha0)
 
-        def ls_cond(s):
-            alpha, _, _, qk, k = s
+        def ls_active(alpha, qk, k):
             return (qk > maxi_qk + params.sigma * alpha * gd) & (
                 k < params.max_backtracks
             )
 
+        def ls_cond(s):
+            alpha, _, _, qk, k = s
+            act = ls_active(alpha, qk, k)
+            return jnp.any(act) if batched else act
+
         def ls_body(s):
-            alpha, _, _, _, k = s
-            alpha = alpha * params.beta
+            alpha, m_old, Ad_old, qk_old, k = s
+            act = ls_active(alpha, qk_old, k)
+            alpha = jnp.where(act, alpha * params.beta, alpha)
             m_new, Ad, qk = ls_eval(alpha)
-            return (alpha, m_new, Ad, qk, k + 1)
+            sel = lambda new, old: jnp.where(act, new, old)
+            return (alpha, sel(m_new, m_old), sel(Ad, Ad_old),
+                    sel(qk, qk_old), k + 1)
 
         alpha, m_new, Ad, qk, _ = lax.while_loop(
             ls_cond, ls_body, (alpha0, m_new0, Ad0, qk0, jnp.asarray(0, jnp.int32))
@@ -787,7 +802,14 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, tra
 
         # Reference writes qk_m[(t+1) % maxi_m] with t already incremented
         # (lcg.cpp:1342 then :1402) — the off-by-one is reproduced as-is.
-        qk_hist = c["qk_m"].at[(c["t"] + 1) % maxi_m].set(qk)
+        slot = (c["t"] + 1) % maxi_m
+        if batched:
+            # slot is per-system (nrhs, 1): scatter row i's objective into
+            # its own ring position.
+            rows_idx = jnp.arange(c["qk_m"].shape[0])[:, None]
+            qk_hist = c["qk_m"].at[rows_idx, slot].set(qk)
+        else:
+            qk_hist = c["qk_m"].at[slot].set(qk)
 
         gk_new = Ad - b
         sk = m_new - c["x"]

@@ -124,8 +124,7 @@ def test_batched_complex_cgs_with_key():
 def test_batched_rejects_unsupported(spd):
     A, B, _ = spd
     with pytest.raises(ValueError):
-        lcg.solve_batched(lcg.DenseOperator(A), B, method="spg",
-                          lower=np.zeros(B.shape[1]), upper=np.ones(B.shape[1]))
+        lcg.solve_batched(lcg.DenseOperator(A), B, method="nope")
     with pytest.raises(ValueError):
         # bicgstab2's abs_diff mid-iteration exit is not batchable
         lcg.solve_batched(lcg.DenseOperator(A), B, method="bicgstab2",
@@ -190,3 +189,23 @@ def test_batched_tfqmr():
         single = lcg.solve(lcg.DenseOperator(A), B[i], method="tfqmr",
                            params=lcg.SolverParams(epsilon=1e-18))
         assert abs(int(res.iterations[i]) - int(single.iterations)) <= 4
+
+
+def test_batched_spg_box_constrained(spd):
+    A, B, X_true = spd
+    n = B.shape[1]
+    res = lcg.solve_batched(
+        lcg.DenseOperator(A), B, method="spg",
+        lower=np.full(n, 1.0), upper=np.full(n, 2.0),
+        params=lcg.SolverParams(epsilon=1e-10, max_iterations=3000),
+    )
+    x = np.asarray(res.x)
+    assert np.all(x >= 1.0 - 1e-10) and np.all(x <= 2.0 + 1e-10)
+    np.testing.assert_allclose(x, X_true, atol=5e-2)
+    # parity with single solves
+    for i in range(B.shape[0]):
+        single = lcg.solve(lcg.DenseOperator(A), B[i], method="spg",
+                           lower=np.full(n, 1.0), upper=np.full(n, 2.0),
+                           params=lcg.SolverParams(epsilon=1e-10,
+                                                   max_iterations=3000))
+        np.testing.assert_allclose(x[i], np.asarray(single.x), atol=1e-4)
