@@ -35,10 +35,14 @@ from .operators import (
     NormalEqOperator,
     ProductOperator,
     ScaledOperator,
+    RealifiedOperator,
     SparseOperator,
     SumOperator,
     aslinearoperator,
     make_sparse_operator,
+    merge_complex,
+    realify,
+    split_complex,
 )
 from .solve import (
     BATCHED_METHODS,
@@ -86,6 +90,10 @@ __all__ = [
     "DenseOperator",
     "SparseOperator",
     "BandedOperator",
+    "RealifiedOperator",
+    "realify",
+    "split_complex",
+    "merge_complex",
     "make_sparse_operator",
     "MatrixFreeOperator",
     "NormalEqOperator",

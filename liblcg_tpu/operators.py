@@ -552,6 +552,115 @@ def _prod_unflatten(_, children):
 register_pytree_node(ProductOperator, _prod_flatten, _prod_unflatten)
 
 
+class RealifiedOperator(LinearOperator):
+    """Real 2n x 2n block form of a complex operator:
+
+        [[Ar, -Ai], [Ai, Ar]] @ [xr; xi]  ==  split(A @ (xr + i xi))
+
+    Built from the *data* of a concrete complex operator (Dense / ELL /
+    DIA), so every product runs in pure real arithmetic — the escape hatch
+    for accelerators without complex support (TPU backends commonly lack
+    complex dtypes entirely).  Solve with CGS (or BiCG): the block form is
+    not symmetric even for complex-symmetric A, and its eigenvalues come in
+    conjugate pairs, which breaks BiCGSTAB's one-dimensional residual
+    smoothing (omega -> 0) — a classic result; CGS has no such stage.  Pack/unpack with :func:`split_complex` /
+    :func:`merge_complex`.
+
+    Transpose identity: ``R(A)^T == R(A^H)`` — ``rmv`` is the algebraic
+    transpose of the real block (what real BiCG-type methods need), which
+    corresponds to the *Hermitian* transpose of the complex operator.
+    """
+
+    def __init__(self, A: "LinearOperator"):
+        if not jnp.issubdtype(jnp.dtype(A.dtype), jnp.complexfloating):
+            raise ValueError("realify expects a complex operator")
+        rdt = jnp.float64 if jnp.dtype(A.dtype) == jnp.complex128 else jnp.float32
+        if isinstance(A, DenseOperator):
+            self.re = DenseOperator(A.A.real.astype(rdt))
+            self.im = DenseOperator(A.A.imag.astype(rdt))
+        elif isinstance(A, BandedOperator):
+            vals = np.asarray(A.diag_vals)
+            self.re = object.__new__(BandedOperator)
+            self.im = object.__new__(BandedOperator)
+            for part, v in ((self.re, vals.real), (self.im, vals.imag)):
+                part.shape = A.shape
+                part.dtype = jnp.dtype(rdt)
+                part.offsets = A.offsets
+                part.diag_vals = jnp.asarray(v.astype(rdt))
+                part.nnz = A.nnz
+        elif isinstance(A, SparseOperator):
+            cols = np.asarray(A.ell_cols)
+            vals = np.asarray(A.ell_vals)
+            n_rows = cols.shape[0]
+            r = np.repeat(np.arange(n_rows), cols.shape[1])
+            c = cols.ravel()
+            v = vals.ravel()
+            keep = v != 0
+            self.re = SparseOperator(A.shape[0], A.shape[1], r[keep], c[keep],
+                                     v[keep].real.astype(rdt))
+            self.im = SparseOperator(A.shape[0], A.shape[1], r[keep], c[keep],
+                                     v[keep].imag.astype(rdt))
+        else:
+            raise TypeError(
+                f"realify supports Dense/Sparse/Banded operators, "
+                f"got {type(A).__name__}"
+            )
+        n = A.shape[1]
+        self._n = n
+        self.shape = (2 * A.shape[0], 2 * n)
+        self.dtype = jnp.dtype(rdt)
+
+    def mv(self, x2):
+        xr, xi = x2[: self._n], x2[self._n :]
+        yr = self.re.mv(xr) - self.im.mv(xi)
+        yi = self.im.mv(xr) + self.re.mv(xi)
+        return jnp.concatenate([yr, yi])
+
+    def rmv(self, x2):
+        xr, xi = x2[: self._n], x2[self._n :]
+        yr = self.re.rmv(xr) + self.im.rmv(xi)
+        yi = -self.im.rmv(xr) + self.re.rmv(xi)
+        return jnp.concatenate([yr, yi])
+
+    def diagonal(self):
+        d = self.re.diagonal()
+        return jnp.concatenate([d, d])
+
+
+def _realified_flatten(op):
+    return (op.re, op.im), (op._n, op.shape, str(op.dtype))
+
+
+def _realified_unflatten(aux, children):
+    obj = object.__new__(RealifiedOperator)
+    obj.re, obj.im = children
+    obj._n, obj.shape, dtype_str = aux
+    obj.dtype = jnp.dtype(dtype_str)
+    return obj
+
+
+register_pytree_node(RealifiedOperator, _realified_flatten, _realified_unflatten)
+
+
+def realify(A: "LinearOperator") -> "RealifiedOperator":
+    """Real block form of a complex operator (see RealifiedOperator)."""
+    return RealifiedOperator(A)
+
+
+def split_complex(z) -> jnp.ndarray:
+    """Pack a complex vector as [real; imag] for a realified solve."""
+    z = jnp.asarray(z)
+    return jnp.concatenate([jnp.real(z), jnp.imag(z)])
+
+
+def merge_complex(x2) -> np.ndarray:
+    """Unpack a realified solution back into a complex vector.  Runs on
+    host numpy — complex dtypes may not exist on the solve's backend."""
+    x2 = np.asarray(x2)
+    n = x2.shape[0] // 2
+    return x2[:n] + 1j * x2[n:]
+
+
 def aslinearoperator(A, **kw) -> LinearOperator:
     """Coerce an array / callable / operator into a LinearOperator."""
     if isinstance(A, LinearOperator):
