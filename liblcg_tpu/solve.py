@@ -31,6 +31,7 @@ from .types import DEFAULT_PARAMS, SolverParams, SolveResult, Status
 _REAL_METHODS = {
     "cg": (_real.cg, False, False),
     "pcg": (_real.pcg, True, False),
+    "cg_fused": (_real.cg_fused, False, False),
     "cg_pipelined": (_real.cg_pipelined, False, False),
     "pcg_pipelined": (_real.pcg_pipelined, True, False),
     "cgs": (_real.cgs, False, False),
@@ -52,6 +53,7 @@ _CPLX_METHODS = {
 #: Reference enum spellings (util.cpp:39-51, :157-166) -> short names,
 #: plus short aliases for the TPU-native pipelined variants.
 _ALIASES = {
+    "cgf": "cg_fused",
     "cgp": "cg_pipelined",
     "pcgp": "pcg_pipelined",
     "LCG_CG": "cg",
@@ -291,7 +293,7 @@ def solve(
 #: custom loops with mid-iteration exits, and PG/SPG carry non-reduction
 #: scalars (BB step, line-search state) — all excluded for now.
 BATCHED_METHODS = frozenset(
-    {"cg", "pcg", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
+    {"cg", "pcg", "cg_fused", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
      "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev", "pg",
      "spg", "tfqmr"}
 )

@@ -219,6 +219,69 @@ def _cg_pipelined(A, b, x0, M, params, monitor, trace_len):
     )
 
 
+def cg_fused(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
+    """Chronopoulos–Gear CG: both inner products at one point, right after
+    the product.
+
+    Same Krylov iterates as classic CG, reorganized so each iteration is
+    exactly TWO dependency steps — [p,s,x,r updates] then [w = A r with
+    gamma = r.r, delta = r.w, ||x||^2 fused behind it] — versus CG's three
+    (product+dot, update+dot, direction update), with only one extra carry
+    vector.  The sweet spot between classic CG (fewest vectors, most
+    serialized steps) and the Ghysels pipelined variant (fewest reduction
+    points, most memory traffic).  Chronopoulos & Gear, J. Comp. Appl.
+    Math. 25 (1989).  No reference counterpart.
+    """
+    A, b, x = _prep(A, b, x0)
+    n = H.dim(b)
+
+    r = b - A.mv(x)
+    w = A.mv(r)
+    gamma = H.dot_u(r, r)
+    delta = H.dot_u(r, w)
+    zero = jnp.zeros_like(b)
+    carry = dict(
+        x=x, r=r, w=w, p=zero, s=zero,
+        gamma=gamma,
+        alpha=gamma / delta,
+        beta=jnp.zeros_like(gamma),
+        m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        t=jnp.asarray(0, jnp.int32),
+        status=H.running_status(),
+        residual=jnp.asarray(0.0, b.real.dtype),
+        trace=H.init_trace(trace_len, b.real.dtype),
+    )
+
+    def residual_fn(c):
+        return H.real_residual(c["gamma"], c["m_mod"], n, params.abs_diff)
+
+    def step_fn(c):
+        p = c["r"] + c["beta"] * c["p"]
+        s = c["w"] + c["beta"] * c["s"]
+        x = c["x"] + c["alpha"] * p
+        r = c["r"] - c["alpha"] * s
+        w = A.mv(r)
+        gamma1 = H.dot_u(r, r)
+        delta = H.dot_u(r, w)
+        xx = H.sq_norm(x)
+        beta1 = gamma1 / c["gamma"]
+        alpha1 = gamma1 / (delta - beta1 * gamma1 / c["alpha"])
+        return dict(
+            c, x=x, r=r, w=w, p=p, s=s,
+            gamma=gamma1, alpha=alpha1, beta=beta1,
+            m_mod=jnp.maximum(xx, 1.0),
+        )
+
+    return H.run_loop(
+        carry,
+        residual_fn=residual_fn,
+        step_fn=step_fn,
+        x_of=lambda c: c["x"],
+        params=params,
+        monitor=monitor,
+    )
+
+
 def cg_pipelined(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
     """Unpreconditioned pipelined CG (see :func:`_cg_pipelined`)."""
     return _cg_pipelined(A, b, x0, None, params, monitor, trace_len)
