@@ -107,6 +107,11 @@ def solve_sharded(
 
     m = canonical_method(method)
     b = jnp.asarray(b)
+    if b.ndim != 1:
+        raise ValueError(
+            f"solve_sharded expects a single right-hand side (n,), got "
+            f"{b.shape}; batched multi-RHS and sharding do not compose yet"
+        )
     is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
