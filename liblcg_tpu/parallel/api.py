@@ -33,11 +33,14 @@ _REPLICATED_KEYS = frozenset({"trace", "qk_m"})
 
 
 def _pad_to(v, n_padded, fill=0.0):
+    """Zero-pad the solve (trailing) dimension up to n_padded."""
     v = jnp.asarray(v)
-    if v.shape[0] == n_padded:
+    if v.shape[-1] == n_padded:
         return v
-    pad = n_padded - v.shape[0]
-    return jnp.concatenate([v, jnp.full((pad,), fill, dtype=v.dtype)])
+    pad = n_padded - v.shape[-1]
+    return jnp.concatenate(
+        [v, jnp.full(v.shape[:-1] + (pad,), fill, dtype=v.dtype)], axis=-1
+    )
 
 
 def _leaf_spec(leaf, n_padded: int, axis: str):
@@ -51,15 +54,22 @@ def _leaf_spec(leaf, n_padded: int, axis: str):
     return P()
 
 
-def _carry_specs(fn, A_struct_op, b_dtype, n_local, axis, kwargs):
+def _carry_specs(fn, A_struct_op, b_dtype, n_local, axis, kwargs, nrhs=None):
     """Derive the carry pytree's out_specs by eval-shaping the *plain*
     (single-device) solver — the carry structure is identical, and scalars/
-    vectors are told apart by rank (with the two named replicated-array
-    exceptions)."""
+    vectors are told apart by rank/shape (with the named replicated-array
+    exceptions).  ``nrhs`` switches to batched shapes: vectors are
+    (nrhs, n_local) sharded on the trailing axis, per-system scalars
+    ((nrhs,), (nrhs, 1), (nrhs, maxi_m)) replicate."""
     nl = max(n_local, 2)
-    b_s = jax.ShapeDtypeStruct((nl,), b_dtype)
+    batched = nrhs is not None
+    shape = (nrhs, nl) if batched else (nl,)
+    b_s = jax.ShapeDtypeStruct(shape, b_dtype)
 
     def run(b):
+        if batched:
+            with H.batched():
+                return fn(A_struct_op, b, b, **kwargs)
         return fn(A_struct_op, b, b, **kwargs)
 
     shapes = jax.eval_shape(run, b_s)
@@ -67,6 +77,10 @@ def _carry_specs(fn, A_struct_op, b_dtype, n_local, axis, kwargs):
     def spec_of(key, leaf):
         if key in _REPLICATED_KEYS or leaf is None or leaf.ndim == 0:
             return P()
+        if batched:
+            if leaf.ndim == 2 and leaf.shape[-1] == nl:
+                return P(None, axis)
+            return P()          # (nrhs,), (nrhs, 1), (nrhs, maxi_m) scalars
         return P(axis)
 
     return {k: spec_of(k, v) for k, v in shapes.items()}
@@ -107,11 +121,22 @@ def solve_sharded(
 
     m = canonical_method(method)
     b = jnp.asarray(b)
-    if b.ndim != 1:
-        raise ValueError(
-            f"solve_sharded expects a single right-hand side (n,), got "
-            f"{b.shape}; batched multi-RHS and sharding do not compose yet"
-        )
+    # 2-D b = batched multi-RHS: rows are systems, sharding stays on the
+    # solve dimension.  The batched and distributed tracing contexts
+    # compose (reductions become per-system psums).
+    nrhs = b.shape[0] if b.ndim == 2 else None
+    if b.ndim > 2:
+        raise ValueError(f"b must be (n,) or (nrhs, n), got {b.shape}")
+    if nrhs is not None:
+        from ..solve import BATCHED_METHODS
+
+        if m not in BATCHED_METHODS:
+            raise ValueError(
+                f"method {m!r} does not support batched solves; available: "
+                f"{sorted(BATCHED_METHODS)}"
+            )
+        if trace_len > 0:
+            raise ValueError("trace_len > 0 is not supported for batched solves")
     is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
@@ -192,20 +217,29 @@ def solve_sharded(
         lambda v: v, n=max(n_local, 2), dtype=bp.dtype
     )
     out_specs = _carry_specs(
-        fn, dummy_A, bp.dtype, n_local, axis, struct_kwargs
+        fn, dummy_A, bp.dtype, n_local, axis, struct_kwargs, nrhs=nrhs
     )
 
     A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis), A)
-    in_specs = (A_specs, P(axis), P(axis), *extra_specs)
+    vec_spec = P(None, axis) if nrhs is not None else P(axis)
+    in_specs = (A_specs, vec_spec, vec_spec, *extra_specs)
 
     def body(A_l, b_l, x0_l, *extras_l):
+        from ..solve import _VmappedOperator
+
+        batched = nrhs is not None
+        A_use = _VmappedOperator(A_l) if batched else A_l
         kwargs = dict(solver_kwargs)
+        if batched:
+            kwargs.pop("trace_len", None)
         i = 0
         if needs_M:
             if M_is_callable:
-                kwargs["M"] = M
+                kwargs["M"] = (lambda V: jax.vmap(M)(V)) if batched else M
             else:
-                kwargs["M"] = extras_l[i]
+                kwargs["M"] = (
+                    _VmappedOperator(extras_l[i]) if batched else extras_l[i]
+                )
                 i += 1
         if needs_bounds:
             kwargs["lower"] = extras_l[i]
@@ -214,17 +248,23 @@ def solve_sharded(
         if takes_key:
             # Decorrelate the shadow-residual draw across shards.
             kwargs["key"] = jax.random.fold_in(extras_l[i], lax.axis_index(axis))
-        with H.distributed(axis, logical_dim=n), H.reduction_dtype(
-            params.reduce_dtype
-        ):
-            return fn(A_l, b_l, x0_l, **kwargs)
+        ctx = [H.distributed(axis, logical_dim=n),
+               H.reduction_dtype(params.reduce_dtype)]
+        import contextlib as _cl
+
+        with _cl.ExitStack() as stack:
+            for c in ctx:
+                stack.enter_context(c)
+            if batched:
+                stack.enter_context(H.batched())
+            return fn(A_use, b_l, x0_l, **kwargs)
 
     mapped = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs
     )
     carry = jax.jit(mapped)(A, bp, x0p, *extras)
 
-    x = carry["x"][:n]
+    x = carry["x"][..., :n]
     result = SolveResult(
         x=x,
         status_code=carry["status"],
