@@ -102,6 +102,7 @@ def solve_sharded(
     key=None,
     lmin=None,
     lmax=None,
+    restart: int = 32,
     check: bool = False,
 ) -> SolveResult:
     """Solve ``A x = b`` SPMD over a device mesh.
@@ -141,7 +142,8 @@ def solve_sharded(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
-                                                lmin=lmin, lmax=lmax)
+                                                lmin=lmin, lmax=lmax,
+                                                restart=restart)
 
     err = params.validate(for_method=m)
     if err is not None:

@@ -72,32 +72,48 @@ _ALIASES = {
     "CLCG_PBICG": "pbicg",
 }
 
-REAL_METHODS = tuple(_REAL_METHODS) + ("chebyshev",)
-COMPLEX_METHODS = tuple(_CPLX_METHODS)
+#: Methods available in BOTH domains beyond the per-domain tables.
+_EXTRA_METHODS = ("chebyshev", "gmres", "pgmres")
+
+REAL_METHODS = tuple(_REAL_METHODS) + _EXTRA_METHODS
+COMPLEX_METHODS = tuple(_CPLX_METHODS) + ("gmres", "pgmres")
 
 
 def canonical_method(method: str) -> str:
     """Resolve a method name or reference enum spelling to its short name."""
     m = _ALIASES.get(method, method).lower()
-    if m not in _REAL_METHODS and m not in _CPLX_METHODS and m != "chebyshev":
+    if (m not in _REAL_METHODS and m not in _CPLX_METHODS
+            and m not in _EXTRA_METHODS):
         raise ValueError(
             f"unknown solver {method!r}; real methods: {sorted(REAL_METHODS)}, "
-            f"complex methods: {sorted(_CPLX_METHODS)}"
+            f"complex methods: {sorted(COMPLEX_METHODS)}"
         )
     return m
 
 
 _CHEB_CACHE: dict = {}
+_GMRES_CACHE: dict = {}
 
 
-def _resolve_engine(m: str, is_complex: bool, A=None, lmin=None, lmax=None):
+def _resolve_engine(m: str, is_complex: bool, A=None, lmin=None, lmax=None,
+                    restart: int = 32):
     """(engine fn, needs_M, needs_bounds) for a canonical method name.
 
     Chebyshev gets its spectral interval baked into a cached engine: bounds
     default to Gershgorin circles of the concrete operator (ops.spectra),
     and a non-positive lower bound is clamped (Chebyshev needs the interval
-    strictly inside the right half-line for SPD systems).
+    strictly inside the right half-line for SPD systems).  GMRES bakes its
+    restart length the same way.
     """
+    if m in ("gmres", "pgmres"):
+        from .solvers.gmres import gmres as _gmres
+
+        key = int(restart)
+        fn = _GMRES_CACHE.get(key)
+        if fn is None:
+            fn = partial(_gmres, restart=key)
+            _GMRES_CACHE[key] = fn
+        return fn, m == "pgmres", False
     if m == "chebyshev":
         if is_complex:
             raise ValueError("chebyshev is real-domain (SPD systems)")
@@ -201,6 +217,7 @@ def solve(
     key=None,
     lmin=None,
     lmax=None,
+    restart: int = 32,
     check: bool = False,
 ) -> SolveResult:
     """Solve ``A x = b`` with the selected Krylov method.
@@ -236,7 +253,8 @@ def solve(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
-                                                lmin=lmin, lmax=lmax)
+                                                lmin=lmin, lmax=lmax,
+                                                restart=restart)
 
     # Parameter validation (reference entry checks, lcg.cpp:150-155 etc.).
     err = params.validate(for_method=m)
