@@ -28,6 +28,7 @@ from .stencil import (
     Stencil3DOperator,
 )
 from .api import solve_sharded, shard_system
+from .block_jacobi import BlockJacobiPreconditioner
 
 __all__ = [
     "make_mesh",
@@ -39,5 +40,6 @@ __all__ = [
     "Stencil3DOperator",
     "ShardedStencil3D",
     "solve_sharded",
+    "BlockJacobiPreconditioner",
     "shard_system",
 ]

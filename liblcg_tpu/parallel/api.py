@@ -43,13 +43,16 @@ def _pad_to(v, n_padded, fill=0.0):
     )
 
 
-def _leaf_spec(leaf, n_padded: int, axis: str):
-    """Row-sharded spec for (n_padded, ...) array leaves, replicated else."""
+def _leaf_spec(leaf, n_padded: int, axis: str, n_devices: int = 0):
+    """Row-sharded spec for array leaves: leading dim == n_padded (row data)
+    or == n_devices (per-shard stacked data, e.g. block-Jacobi factors)
+    shards over the mesh axis; everything else replicates."""
     try:
         shp = leaf.shape
     except AttributeError:
         return P()
-    if len(shp) >= 1 and shp[0] == n_padded:
+    if len(shp) >= 1 and (shp[0] == n_padded or
+                          (n_devices and shp[0] == n_devices)):
         return P(axis, *([None] * (len(shp) - 1)))
     return P()
 
@@ -192,7 +195,7 @@ def solve_sharded(
         if not M_is_callable:
             extras.append(M)
             extra_specs.append(
-                jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis), M)
+                jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), M)
             )
     if needs_bounds:
         rdt = bp.real.dtype
@@ -222,7 +225,7 @@ def solve_sharded(
         fn, dummy_A, bp.dtype, n_local, axis, struct_kwargs, nrhs=nrhs
     )
 
-    A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis), A)
+    A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), A)
     vec_spec = P(None, axis) if nrhs is not None else P(axis)
     in_specs = (A_specs, vec_spec, vec_spec, *extra_specs)
 

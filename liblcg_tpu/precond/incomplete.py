@@ -31,6 +31,8 @@ from .triangular import TriangularPreconditioner, level_schedule
 
 def _coo_from_operator(A) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:
     """Extract host COO triplets from a SparseOperator / dense array."""
+    if hasattr(A, "coo"):  # _RawCoo passthrough
+        return A.coo
     if hasattr(A, "ell_cols"):  # SparseOperator
         cols = np.asarray(A.ell_cols)
         vals = np.asarray(A.ell_vals)
@@ -78,6 +80,22 @@ def _rows_to_coo(rows_list, diag=None):
         np.asarray(cc, dtype=np.int64),
         np.asarray(vv),
     )
+
+
+def incomplete_cholesky_coo(n, rows, cols, vals,
+                            fill: int = 0) -> IncompleteFactorization:
+    """IC(0)/ICT directly from COO triplets (see :func:`incomplete_cholesky`)."""
+    return incomplete_cholesky(
+        _RawCoo(n, np.asarray(rows), np.asarray(cols), np.asarray(vals)),
+        fill=fill,
+    )
+
+
+class _RawCoo:
+    """COO carrier recognised by ``_coo_from_operator``."""
+
+    def __init__(self, n, rows, cols, vals):
+        self.coo = (int(n), rows.astype(np.int64), cols.astype(np.int64), vals)
 
 
 def incomplete_cholesky(A, fill: int = 0) -> IncompleteFactorization:

@@ -130,7 +130,9 @@ def level_schedule(
 def triangular_solve(sched: LevelSchedule, b: jnp.ndarray) -> jnp.ndarray:
     """Solve ``T x = b`` for the level-scheduled triangular factor T."""
     n = sched.n
-    x0 = jnp.zeros(b.shape, dtype=jnp.promote_types(b.dtype, sched.ell_vals.dtype))
+    # Derive the init from b (not jnp.zeros) so its device-variance matches
+    # the loop body under shard_map's VMA tracking.
+    x0 = (b * 0).astype(jnp.promote_types(b.dtype, sched.ell_vals.dtype))
 
     def body(l, x):
         rows_l = sched.level_rows[l]          # (R,) padded with n

@@ -367,3 +367,33 @@ def test_sharded_batched_rejects_trace(banded_system):
         solve_sharded(A, np.stack([b, b]), method="cg", trace_len=8)
     with pytest.raises(ValueError):
         solve_sharded(A, np.stack([[b, b]]))  # 3-D b
+
+
+def test_block_jacobi_ic_sharded(banded_system):
+    """Per-shard IC factors as sharded leaves: fewer iterations than plain
+    CG with zero communication per preconditioner application."""
+    from liblcg_tpu.parallel import (BlockJacobiPreconditioner,
+                                     ShardedBandedOperator)
+
+    n, rows, cols, vals, b, x_true = banded_system
+    A = ShardedBandedOperator(n, rows, cols, vals, n_devices=8)
+    M = BlockJacobiPreconditioner.from_operator(A)
+    plain = solve_sharded(A, b, method="cg", params=PARAMS)
+    res = solve_sharded(A, b, method="pcg", M=M, params=PARAMS)
+    assert res.converged
+    assert int(res.iterations) < int(plain.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+
+
+def test_block_jacobi_from_coo_with_shift(banded_system):
+    from liblcg_tpu.parallel import (BlockJacobiPreconditioner,
+                                     ShardedSparseOperator)
+
+    n, rows, cols, vals, b, x_true = banded_system
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=4)
+    n_padded = A.n_padded
+    M = BlockJacobiPreconditioner.from_coo(n_padded, rows, cols, vals,
+                                           n_devices=4, shift=0.05)
+    res = solve_sharded(A, b, method="pcg", M=M, params=PARAMS)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
