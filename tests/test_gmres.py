@@ -76,3 +76,40 @@ def test_gmres_matches_case10k(case_10k):
     assert res.converged
     err = np.sqrt(np.sum((np.asarray(res.x) - answer) ** 2)) / sys_.n
     assert err < 1e-5
+
+
+def test_minres_symmetric_indefinite():
+    rng = np.random.default_rng(2)
+    n = 100
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eig = np.concatenate([rng.uniform(1, 5, n // 2),
+                          rng.uniform(-5, -1, n - n // 2)])
+    A = Q @ np.diag(eig) @ Q.T
+    x_true = rng.normal(size=n)
+    b = A @ x_true
+    res = lcg.solve(lcg.DenseOperator(A), b, method="minres",
+                    params=lcg.SolverParams(epsilon=1e-14))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+
+
+def test_minres_spd_and_sharded(spd_small):
+    from liblcg_tpu.parallel import ShardedSparseOperator, solve_sharded
+
+    A, b, x_true = spd_small
+    res = lcg.solve(lcg.DenseOperator(A), b, method="minres",
+                    params=lcg.SolverParams(epsilon=1e-13))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+    rows, cols = np.nonzero(A)
+    Ash = ShardedSparseOperator(len(b), rows, cols, A[rows, cols], n_devices=8)
+    rs = solve_sharded(Ash, b, method="minres",
+                       params=lcg.SolverParams(epsilon=1e-13))
+    assert rs.converged
+    np.testing.assert_allclose(np.asarray(rs.x), x_true, atol=1e-4)
+
+
+def test_minres_rejects_complex(complex_sym_small):
+    A, b, _ = complex_sym_small
+    with pytest.raises(ValueError):
+        lcg.solve(lcg.DenseOperator(A), b, method="minres")
