@@ -112,3 +112,30 @@ def test_chebyshev_preconditioner_cuts_iterations(case_10k):
     assert int(pcg.iterations) * 5 < int(plain.iterations)
     err = np.sqrt(np.sum((np.asarray(pcg.x) - answer) ** 2)) / sys_.n
     assert err < 1e-5
+
+
+def test_lanczos_bounds_sharper_than_gershgorin(spd_small):
+    from liblcg_tpu.ops.spectra import lanczos_bounds
+
+    A, _, _ = spd_small
+    eig = np.linalg.eigvalsh(A)
+    lo, hi = lanczos_bounds(lcg.DenseOperator(A), n_iter=60)
+    g_lo, g_hi = gershgorin_bounds(lcg.DenseOperator(A))
+    # encloses the spectrum...
+    assert lo <= eig.min() + 1e-6
+    assert hi >= eig.max() - 1e-6
+    # ...and is no wider than the Gershgorin interval
+    assert (hi - lo) <= (g_hi - g_lo) + 1e-9
+
+
+def test_chebyshev_with_lanczos_bounds(spd_small):
+    from liblcg_tpu.ops.spectra import lanczos_bounds
+
+    A, b, x_true = spd_small
+    op = lcg.DenseOperator(A)
+    lo, hi = lanczos_bounds(op, n_iter=60)
+    res = lcg.solve(op, b, method="chebyshev", lmin=lo, lmax=hi,
+                    params=lcg.SolverParams(epsilon=1e-12,
+                                            hard_iteration_cap=100000))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=5e-3)
