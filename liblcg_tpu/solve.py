@@ -73,7 +73,7 @@ _ALIASES = {
 }
 
 #: Methods available in BOTH domains beyond the per-domain tables.
-_EXTRA_METHODS = ("chebyshev", "gmres", "pgmres", "minres")
+_EXTRA_METHODS = ("chebyshev", "gmres", "pgmres", "minres", "pminres")
 
 REAL_METHODS = tuple(_REAL_METHODS) + _EXTRA_METHODS
 COMPLEX_METHODS = tuple(_CPLX_METHODS) + ("gmres", "pgmres")
@@ -105,14 +105,17 @@ def _resolve_engine(m: str, is_complex: bool, A=None, lmin=None, lmax=None,
     strictly inside the right half-line for SPD systems).  GMRES bakes its
     restart length the same way.
     """
-    if m == "minres":
+    if m in ("minres", "pminres"):
         from .solvers.minres import minres as _minres
+        from .solvers.minres import pminres as _pminres
 
         if is_complex:
             raise ValueError(
                 "minres is real-domain; for complex-symmetric systems use "
                 "bicg_sym, or realify for Hermitian"
             )
+        if m == "pminres":
+            return _pminres, True, False
         return _minres, False, False
     if m in ("gmres", "pgmres"):
         from .solvers.gmres import gmres as _gmres

@@ -20,6 +20,94 @@ from ..types import SolverParams
 from . import harness as H
 
 
+def pminres(A, b, x0=None, *, M, params=SolverParams(), monitor=None,
+            trace_len=0):
+    """Preconditioned MINRES (Paige–Saunders minres with an SPD
+    preconditioner M applying M^{-1}).
+
+    The tracked residual is the preconditioned one (||r||_{M^{-1}} via the
+    phibar recurrence) — the quantity the method actually minimizes; the
+    reference stopping rules are applied to it.
+    """
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+    n = H.dim(b)
+    apply_M = M.mv if hasattr(M, "mv") else M
+
+    r1 = b - A.mv(x)
+    y = apply_M(r1)
+    beta1 = jnp.sqrt(H.dot_u(r1, y)).astype(b.dtype)
+    zero = jnp.zeros_like(b)
+    zf = jnp.zeros_like(beta1)
+
+    carry = dict(
+        x=x,
+        r1=r1, r2=r1, y=y,
+        w=zero, w2=zero,
+        oldb=zf, beta=beta1, dbar=zf, epsln=zf,
+        cs=zf - 1.0, sn=zf,
+        phibar=beta1,
+        rk_mod=beta1 * beta1,
+        m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        t=jnp.asarray(0, jnp.int32),
+        status=H.running_status(),
+        residual=jnp.asarray(0.0, b.real.dtype),
+        trace=H.init_trace(trace_len, b.real.dtype),
+    )
+
+    def residual_fn(c):
+        return H.real_residual(c["rk_mod"], c["m_mod"], n, params.abs_diff)
+
+    def step_fn(c):
+        beta = c["beta"]
+        beta_safe = jnp.where(beta == 0, 1, beta)
+        v = c["y"] / beta_safe
+        y = A.mv(v)
+        # Subtract the previous Lanczos direction from iteration 2 on.
+        oldb_safe = jnp.where(c["oldb"] == 0, 1, c["oldb"])
+        y = y - jnp.where(c["t"] >= 2, beta / oldb_safe, 0.0) * c["r1"]
+        alfa = H.dot_u(v, y)
+        y = y - (alfa / beta_safe) * c["r2"]
+        r1, r2 = c["r2"], y
+        y = apply_M(r2)
+        oldb = beta
+        beta_new = jnp.sqrt(H.dot_u(r2, y)).astype(b.dtype)
+
+        # QR via Givens rotations.
+        oldeps = c["epsln"]
+        delta = c["cs"] * c["dbar"] + c["sn"] * alfa
+        gbar = c["sn"] * c["dbar"] - c["cs"] * alfa
+        epsln = c["sn"] * beta_new
+        dbar = -c["cs"] * beta_new
+        gamma = jnp.sqrt(gbar * gbar + beta_new * beta_new)
+        gamma = jnp.where(gamma == 0, 1e-30, gamma)
+        cs = gbar / gamma
+        sn = beta_new / gamma
+        phi = cs * c["phibar"]
+        phibar = sn * c["phibar"]
+
+        w1 = c["w2"]
+        w2 = c["w"]
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = c["x"] + phi * w
+        return dict(
+            c, x=x, r1=r1, r2=r2, y=y, w=w, w2=w2,
+            oldb=oldb, beta=beta_new, dbar=dbar, epsln=epsln,
+            cs=cs, sn=sn, phibar=phibar,
+            rk_mod=(phibar * phibar).real.astype(c["rk_mod"].dtype),
+            m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        )
+
+    return H.run_loop(
+        carry,
+        residual_fn=residual_fn,
+        step_fn=step_fn,
+        x_of=lambda c: c["x"],
+        params=params,
+        monitor=monitor,
+    )
+
+
 def minres(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0):
     """Solve ``A x = b`` with A symmetric (definite or indefinite)."""
     b = jnp.asarray(b)

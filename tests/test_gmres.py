@@ -113,3 +113,26 @@ def test_minres_rejects_complex(complex_sym_small):
     A, b, _ = complex_sym_small
     with pytest.raises(ValueError):
         lcg.solve(lcg.DenseOperator(A), b, method="minres")
+
+
+def test_pminres_indefinite_and_spd(spd_small):
+    rng = np.random.default_rng(2)
+    n = 100
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eig = np.concatenate([rng.uniform(1, 5, n // 2),
+                          rng.uniform(-5, -1, n - n // 2)])
+    A = Q @ np.diag(eig) @ Q.T
+    x_true = rng.normal(size=n)
+    b = A @ x_true
+    M = lcg.JacobiPreconditioner(np.abs(np.diag(A)) + 1.0)  # SPD M required
+    res = lcg.solve(lcg.DenseOperator(A), b, method="pminres", M=M,
+                    params=lcg.SolverParams(epsilon=1e-16))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+
+    As, bs, xs = spd_small
+    M2 = lcg.JacobiPreconditioner(np.diag(As))
+    r2 = lcg.solve(lcg.DenseOperator(As), bs, method="pminres", M=M2,
+                   params=lcg.SolverParams(epsilon=1e-15))
+    assert r2.converged
+    np.testing.assert_allclose(np.asarray(r2.x), xs, atol=1e-4)
