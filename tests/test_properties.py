@@ -69,3 +69,23 @@ def test_solution_satisfies_system(case_10k):
     x = np.asarray(res.x)
     metric = (r @ r) / max(x @ x, 1.0)
     assert metric <= 1e-12 * 1.01
+
+
+@pytest.mark.parametrize("method", ["cg", "cgf", "cgp", "cgs", "bicgstab",
+                                    "bicgstab2", "minres", "gmres"])
+def test_float32_dtype_sweep(spd, method):
+    """Every real engine is dtype-polymorphic: f32 storage end to end.
+
+    Pipelined CG's recurred residual drifts from the true one in finite
+    precision (the documented cgp trade-off), so its reachable f32
+    tolerance is looser.
+    """
+    A, b, x_true = spd
+    eps = 1e-7 if method == "cgp" else 1e-9
+    op = lcg.DenseOperator(A.astype(np.float32))
+    res = lcg.solve(op, jnp.asarray(b, jnp.float32), method=method,
+                    params=lcg.SolverParams(epsilon=eps))
+    assert res.x.dtype == jnp.float32
+    assert res.converged, f"{method}: {res.status}"
+    np.testing.assert_allclose(np.asarray(res.x, np.float64), x_true,
+                               atol=5e-2)
