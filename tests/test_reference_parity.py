@@ -37,3 +37,34 @@ def test_iteration_count_parity_case10k(case_10k, method, ref_iters, tol):
     assert abs(got - ref_iters) <= tol, (
         f"{method}: {got} iterations vs reference binary's {ref_iters}"
     )
+
+
+#: Complex-domain counts from the reference's own lcg_sample4 binary
+#: (case_1K, epsilon=1e-6, abs_diff — sample4.cpp:166-168): BiCG 407,
+#: CGS 732, TFQMR 1464.  The case needs ~400+ iterations at n=1000 (very
+#: ill-conditioned), so trajectories shift by a few iterations under ANY
+#: change of floating-point reduction order (compiler fusion choices on
+#: either side); CGS/TFQMR additionally draw a RANDOM shadow residual
+#: seeded from time(0) in the reference (clcg.cpp:399-403).  Counts must
+#: land within a few percent.
+COMPLEX_REFERENCE_COUNTS = [
+    ("bicg", 407, 15),
+    ("bicg_sym", 407, 15),
+    ("cgs", 732, 30),
+    ("tfqmr", 1464, 50),
+]
+
+
+@pytest.mark.parametrize("method,ref_iters,tol", COMPLEX_REFERENCE_COUNTS)
+def test_complex_iteration_parity_case1k(case_1k_complex, method, ref_iters, tol):
+    sys_, _ = case_1k_complex
+    import liblcg_tpu as lcg_mod
+
+    A = lcg_mod.SparseOperator(sys_.n, sys_.n, sys_.rows, sys_.cols, sys_.vals)
+    res = lcg_mod.solve(A, jnp.asarray(sys_.b), method=method,
+                        params=lcg_mod.SolverParams(epsilon=1e-6, abs_diff=1))
+    assert res.converged, f"{method}: {res.status}"
+    got = int(res.iterations)
+    assert abs(got - ref_iters) <= tol, (
+        f"{method}: {got} iterations vs reference binary's {ref_iters}"
+    )
