@@ -137,3 +137,14 @@ def test_reads_shipped_headers():
     assert (s.n, s.nnz) == (10000, 48834)
     c = io.read_system(f"{base}/case_1K_cA", complex_values=True)
     assert (c.n, c.nnz) == (1000, 1200)
+
+
+def test_aslinearoperator_errors():
+    with pytest.raises(ValueError):
+        lcg.aslinearoperator(lambda v: v)          # callable without n=
+    with pytest.raises(ValueError):
+        lcg.aslinearoperator(np.zeros((2, 2, 2)))  # not 2-D
+    op = lcg.aslinearoperator(np.eye(4))
+    assert isinstance(op, lcg.DenseOperator)
+    same = lcg.aslinearoperator(op)
+    assert same is op

@@ -134,3 +134,13 @@ def test_complex_class_minimize():
                                    params=lcg.SolverParams(epsilon=1e-18))
     assert res.converged
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+
+
+def test_minimize_with_extra_methods(spd_small_module):
+    """The OO layer routes the extended method set too."""
+    A, b, x_true = spd_small_module
+    s = DenseSolver(A).silent().set_parameters(lcg.SolverParams(epsilon=1e-12))
+    for m in ("gmres", "minres", "cgf"):
+        res = s.Minimize(b, method=m)
+        assert res.converged, m
+        np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
