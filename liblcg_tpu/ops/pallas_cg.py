@@ -22,7 +22,7 @@ the dots here accumulate in f32 over VMEM-resident data).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

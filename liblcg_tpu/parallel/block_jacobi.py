@@ -18,8 +18,6 @@ construction (sentinel rows drop on scatter; zero values).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node

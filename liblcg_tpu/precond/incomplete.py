@@ -22,7 +22,7 @@ with complex sqrt — matching ``clcg_Cholesky``'s convention
 from __future__ import annotations
 
 import heapq
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
