@@ -5,9 +5,17 @@ reference C++/CUDA library liblcg (YiZhangCUG/liblcg): CG, PCG, CGS,
 BiCGSTAB, restarted BiCGSTAB, projected-gradient and spectral-projected-
 gradient solvers for real systems; BiCG, symmetric BiCG, CGS, BiCGSTAB,
 TFQMR, PCG and PBiCG for complex systems; Jacobi / incomplete-Cholesky /
-incomplete-LU preconditioning; plus first-class multi-chip scaling over a
-``jax.sharding.Mesh`` that the reference (single-process OpenMP / single
-GPU) never had.
+incomplete-LU / dense-Cholesky preconditioning — plus capabilities the
+reference (single-process OpenMP / single GPU) never had:
+
+- hardware-shaped solver variants: pipelined CG (``cgp``), Chronopoulos-
+  Gear fused CG (``cgf``), Chebyshev iteration, restarted GMRES(m),
+  MINRES/PMINRES, a whole-solve VMEM-resident Pallas CG kernel;
+- first-class multi-chip scaling over a ``jax.sharding.Mesh``
+  (``parallel``): row-partitioned/DIA/stencil operators with ppermute
+  halos, psum'd reductions, block-Jacobi IC, multi-process execution;
+- multi-RHS batched solves (``solve_batched``), composable with sharding;
+- complex systems on complex-less backends via ``realify``.
 
 Design principles (vs. the reference):
 - one dtype-polymorphic engine per algorithm instead of 3 duplicated
