@@ -50,6 +50,7 @@ from .operators import (
     make_sparse_operator,
     merge_complex,
     realify,
+    set2box,
     split_complex,
 )
 from .solve import (
@@ -87,7 +88,7 @@ from .parallel import (
     solve_sharded,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "DEFAULT_PARAMS",
@@ -100,6 +101,7 @@ __all__ = [
     "BandedOperator",
     "RealifiedOperator",
     "realify",
+    "set2box",
     "split_complex",
     "merge_complex",
     "make_sparse_operator",

@@ -673,3 +673,23 @@ def aslinearoperator(A, **kw) -> LinearOperator:
     if arr.ndim != 2:
         raise ValueError(f"expected 2-D array, got shape {arr.shape}")
     return DenseOperator(arr)
+
+
+def set2box(low, hig, a, low_bound: bool = True, hig_bound: bool = True):
+    """Box projection with optional exclusive bounds.
+
+    Reference: ``lcg_set2box`` (algebra.cpp:50-58; inclusive defaults
+    declared algebra.h:92-93).  Inclusive bounds clamp to ``[low, hig]``.
+    An exclusive bound maps values at-or-beyond it just *inside* instead:
+    ``a >= hig -> hig - 1e-16`` and ``a <= low -> low + 1e-16``.  The exact
+    piecewise semantics are reproduced — a value already strictly inside
+    ``(hig - 1e-16, hig)`` passes through unchanged, so the exclusive mode
+    is *not* the same as clipping to the shrunken interval — and the upper
+    test wins when the bounds cross, matching the reference's early return.
+    """
+    a = jnp.asarray(a)
+    low = jnp.asarray(low, dtype=a.dtype)
+    hig = jnp.asarray(hig, dtype=a.dtype)
+    hig_val = hig if hig_bound else hig - 1e-16
+    low_val = low if low_bound else low + 1e-16
+    return jnp.where(a >= hig, hig_val, jnp.where(a <= low, low_val, a))

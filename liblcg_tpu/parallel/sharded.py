@@ -156,22 +156,54 @@ class ShardedSparseOperator(LinearOperator):
         return ell_spmv(self.ell_cols, jnp.conj(self.ell_vals), self._gather_x(x))
 
     def _transpose_apply(self, x, conj: bool):
+        """(A^T x) / (A^H x) with owner-targeted accumulation.
+
+        halo comm: every local entry (row i, col j) has j inside the
+        extended window [start - h_l, start + n_local + h_r), so the
+        transpose contribution A[i,j] * x[i] lands either in the local
+        block or in a neighbor's edge slice.  Accumulate into the extended
+        window (O(n_local) memory), then ship each edge slice to its owner
+        with one ``ppermute`` hop — communication O(halo), the mirror image
+        of ``_gather_x``.  The reference's A^H product (clcg.cpp:188) done
+        distributedly without any full-length vector.
+
+        allgather comm (general patterns): contributions can target any
+        row, so accumulate the full-length image locally and combine with
+        ``psum_scatter`` — each device receives only its own slice
+        (reduce-scatter), half the collective cost of the old psum +
+        dynamic-slice and with no replicated O(N) result buffer.
+        """
         ax = self.axis_name
         vals = jnp.conj(self.ell_vals) if conj else self.ell_vals
-        cols = self.ell_cols
-        if self.comm == "halo":
-            # Recover global column indices arithmetically (padding entries
-            # have val == 0, so their garbage targets are harmless).
-            start = lax.axis_index(ax) * self.n_local
-            cols = cols + start - self.halo[0]
         contrib = (vals * x[:, None]).ravel()
-        full = jax.ops.segment_sum(
-            contrib, cols.ravel(), num_segments=self.n_padded
-        )
-        full = lax.psum(full, ax)
-        return lax.dynamic_slice(
-            full, (lax.axis_index(ax) * self.n_local,), (self.n_local,)
-        )
+        segs = self.ell_cols.ravel()
+        if self.comm == "halo":
+            h_l, h_r = self.halo
+            n_ext = h_l + self.n_local + h_r
+            ext = jax.ops.segment_sum(contrib, segs, num_segments=n_ext)
+            y = ext[h_l : h_l + self.n_local]
+            D = self.n_devices
+            if h_l:
+                # Bins [0, h_l) are the left neighbor's trailing rows; the
+                # right neighbor's same bins are our trailing rows.
+                from_right = lax.ppermute(
+                    ext[:h_l], ax, perm=[(i + 1, i) for i in range(D - 1)]
+                )
+                y = y.at[self.n_local - h_l :].add(from_right)
+            if h_r:
+                # Bins [h_l + n_local, n_ext) are the right neighbor's
+                # leading rows; received from the left neighbor they are
+                # our leading rows.
+                from_left = lax.ppermute(
+                    ext[h_l + self.n_local :], ax,
+                    perm=[(i, i + 1) for i in range(D - 1)],
+                )
+                y = y.at[:h_r].add(from_left)
+            return y
+        full = jax.ops.segment_sum(contrib, segs, num_segments=self.n_padded)
+        if self.n_devices == 1:
+            return full
+        return lax.psum_scatter(full, ax, scatter_dimension=0, tiled=True)
 
     def rmv(self, x):
         return self._transpose_apply(x, conj=False)
@@ -244,7 +276,15 @@ class ShardedBandedOperator(LinearOperator):
         dv = diag_vals.T.copy()              # (n_padded, n_diags)
         # Unit diagonal on padding rows keeps Jacobi preconditioners finite
         # (padding x/b are zero, so the rows never influence the solve).
-        if 0 in self.offsets and self.n_padded > n:
+        # A zero-offset diagonal is materialized if the matrix stores none —
+        # otherwise diagonal() would return zeros on padding rows and a
+        # Jacobi built from it would divide by zero.
+        if self.n_padded > n:
+            if 0 not in self.offsets:
+                dv = np.concatenate(
+                    [dv, np.zeros((self.n_padded, 1), dtype=dv.dtype)], axis=1
+                )
+                self.offsets = self.offsets + (0,)
             dv[n:, self.offsets.index(0)] = 1.0
         self.dia_vals = jnp.asarray(dv)
 

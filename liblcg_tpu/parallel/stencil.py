@@ -212,7 +212,9 @@ class Stencil3DOperator(LinearOperator):
         coeffs = []
         for name, c in (("c0", c0), ("cxm", cxm), ("cxp", cxp), ("cym", cym),
                         ("cyp", cyp), ("czm", czm), ("czp", czp)):
-            c = np.asarray(c, dtype=dtype).reshape(-1)
+            # copy=True: the boundary-zeroing below must never mutate the
+            # caller's arrays through a reshape view.
+            c = np.array(c, dtype=dtype, copy=True).reshape(-1)
             if c.shape[0] != n:
                 raise ValueError(f"{name} has {c.shape[0]} entries, expected {n}")
             coeffs.append(c)

@@ -156,7 +156,7 @@ _JIT_CACHE: dict = {}
 
 def _compiled_solver(
     fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key,
-    static_M=None,
+    static_M=None, bounds_inclusive=(True, True),
 ):
     """jit-compile (and cache) one solver configuration.
 
@@ -173,7 +173,7 @@ def _compiled_solver(
     """
     cache_key = (
         fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key,
-        static_M,
+        static_M, bounds_inclusive,
     )
     cached = _JIT_CACHE.get(cache_key)
     if cached is not None:
@@ -194,6 +194,9 @@ def _compiled_solver(
             kwargs["lower"] = extras[i]
             kwargs["upper"] = extras[i + 1]
             i += 2
+            if bounds_inclusive != (True, True):
+                kwargs["lower_inclusive"] = bounds_inclusive[0]
+                kwargs["upper_inclusive"] = bounds_inclusive[1]
         if takes_key:
             kwargs["key"] = extras[i]
         with H.reduction_dtype(params.reduce_dtype):
@@ -231,6 +234,8 @@ def solve(
     lmax=None,
     restart: int = 32,
     check: bool = False,
+    lower_inclusive: bool = True,
+    upper_inclusive: bool = True,
 ) -> SolveResult:
     """Solve ``A x = b`` with the selected Krylov method.
 
@@ -248,6 +253,9 @@ def solve(
     params : SolverParams — static under jit.
     M : preconditioner (operator or callable applying M^{-1}) for pcg/pbicg.
     lower, upper : box bounds for pg/spg.
+    lower_inclusive, upper_inclusive : False selects ``lcg_set2box``'s
+        exclusive-bound projection (clamp just inside the bound,
+        algebra.cpp:50-58); defaults match the reference (algebra.h:92-93).
     monitor : optional traced callback ``(x, residual, t) -> bool``; a True
         return stops the solve with Status.STOP (reference Pfp contract,
         lcg.h:53-54).
@@ -291,6 +299,7 @@ def solve(
     jitted = _compiled_solver(
         fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key,
         static_M=M if M_static else None,
+        bounds_inclusive=(bool(lower_inclusive), bool(upper_inclusive)),
     )
 
     x0_arr = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=b.dtype)
@@ -319,9 +328,10 @@ def solve(
     return result
 
 
-#: Methods supported by the batched multi-RHS path.  TFQMR/BiCGSTAB2 own
-#: custom loops with mid-iteration exits, and PG/SPG carry non-reduction
-#: scalars (BB step, line-search state) — all excluded for now.
+#: Methods supported by the batched multi-RHS path.  Every engine carries
+#: per-system scalars through the masked harness — including TFQMR's half
+#: steps, PG/SPG's BB/line-search state and BiCGSTAB2 (except its abs_diff
+#: mid-iteration exit, guarded separately below).
 BATCHED_METHODS = frozenset(
     {"cg", "pcg", "cg_fused", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
      "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev", "pg",

@@ -106,8 +106,15 @@ class SolverBase:
     def _monitor(self):
         # Only pass a monitor into the jit when the subclass overrides it:
         # the base implementation would just burn a branch per iteration.
+        # The wrapper is memoized per instance — the jit cache keys on the
+        # monitor's identity, so a fresh lambda per call would force a full
+        # recompile of every Minimize (20-120 s through a remote backend).
         if type(self).Progress is not SolverBase.Progress:
-            return lambda x, r, t: jnp.asarray(self.Progress(x, r, t))
+            fn = getattr(self, "_monitor_fn", None)
+            if fn is None:
+                fn = lambda x, r, t: jnp.asarray(self.Progress(x, r, t))
+                self._monitor_fn = fn
+            return fn
         return None
 
     def _run(self, method, b, x0, M=None, lower=None, upper=None,

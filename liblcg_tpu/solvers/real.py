@@ -724,16 +724,31 @@ def bicgstab2(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0
     return H.finalize(carry)
 
 
-def pg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, trace_len=0):
+def _box_projector(lower, upper, lower_inclusive: bool, upper_inclusive: bool):
+    """The per-iteration projection P(.): plain clip for the (default)
+    inclusive bounds, the reference's exclusive ``set2box`` semantics
+    (algebra.cpp:50-58) otherwise."""
+    if lower_inclusive and upper_inclusive:
+        return lambda v: jnp.clip(v, lower, upper)
+    from ..operators import set2box
+
+    return lambda v: set2box(lower, upper, v, lower_inclusive, upper_inclusive)
+
+
+def pg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None,
+       trace_len=0, lower_inclusive: bool = True, upper_inclusive: bool = True):
     """Projected gradient with Barzilai–Borwein step.  Reference: ``lpg``
     lcg.cpp:1054-1204 (the *native* version; the CUDA version's gradient
-    update bugs at lcg_cuda.cu:681-703 are intentionally not replicated)."""
+    update bugs at lcg_cuda.cu:681-703 are intentionally not replicated).
+    ``lower_inclusive``/``upper_inclusive`` select ``lcg_set2box``'s
+    exclusive-bound modes (algebra.cpp:50-58)."""
     A, b, x = _prep(A, b, x0)
     n = H.dim(b)  # global length (psum-aware when sharded)
     lower = jnp.asarray(lower, dtype=b.dtype)
     upper = jnp.asarray(upper, dtype=b.dtype)
+    project = _box_projector(lower, upper, lower_inclusive, upper_inclusive)
 
-    x = jnp.clip(x, lower, upper)                # lcg.cpp:1086-1090
+    x = project(x)                               # lcg.cpp:1086-1090
     Ax = A.mv(x)
     gk = Ax - b
     carry = dict(
@@ -754,7 +769,7 @@ def pg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, trac
         return H.real_residual(c["gk_mod"], c["m_mod"], n, params.abs_diff)
 
     def step_fn(c):
-        m_new = jnp.clip(c["x"] - c["alpha"] * c["gk"], lower, upper)
+        m_new = project(c["x"] - c["alpha"] * c["gk"])
         Ad = A.mv(m_new)
         gk_new = Ad - b
         sk = m_new - c["x"]
@@ -780,7 +795,8 @@ def pg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, trac
     return carry
 
 
-def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, trace_len=0):
+def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None,
+        trace_len=0, lower_inclusive: bool = True, upper_inclusive: bool = True):
     """Spectral projected gradient with Grippo non-monotone line search.
     Reference: ``lspg`` lcg.cpp:1224-1447.
 
@@ -798,10 +814,11 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, tra
     n = H.dim(b)  # global length (psum-aware when sharded)
     lower = jnp.asarray(lower, dtype=b.dtype)
     upper = jnp.asarray(upper, dtype=b.dtype)
+    project = _box_projector(lower, upper, lower_inclusive, upper_inclusive)
     maxi_m = params.maxi_m
     batched = H.batch_active()
 
-    x = jnp.clip(x, lower, upper)
+    x = project(x)
     Ax = A.mv(x)
     gk = Ax - b
     qk0 = H.dot_u(0.5 * x, Ax) - H.dot_u(b, x)   # lcg.cpp:1305-1308
@@ -827,7 +844,7 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None, tra
         return H.real_residual(c["gk_mod"], c["m_mod"], n, params.abs_diff)
 
     def step_fn(c):
-        dk = jnp.clip(c["x"] - c["lam"] * c["gk"], lower, upper) - c["x"]
+        dk = project(c["x"] - c["lam"] * c["gk"]) - c["x"]
         gd = H.dot_u(c["gk"], dk)
         maxi_qk = jnp.max(c["qk_m"], axis=-1, keepdims=batched)
 

@@ -6,10 +6,6 @@ against the manufactured solution, and exercises PCG with Jacobi and the
 box-constrained PG/SPG with bounds [1, 2] (sample1.cpp:98-113).
 """
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -1,10 +1,6 @@
 """Class-based API (reference sample2/sample4): subclass, override
 AxProduct/MxProduct/Progress, call Minimize with progress reporting."""
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp

@@ -1,10 +1,6 @@
 """Complex solvers on the shipped case_1K system (reference sample4/sample6):
 BICG / BICG_SYM / CGS / TFQMR at epsilon=1e-6 abs_diff, max_diff oracle."""
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp

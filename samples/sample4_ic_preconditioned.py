@@ -2,10 +2,6 @@
 factorize on host (native C++ when available), apply as level-scheduled
 device triangular solves inside the compiled loop."""
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp

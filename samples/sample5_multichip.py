@@ -4,10 +4,6 @@ Runs on whatever devices are visible; to simulate an 8-device slice on CPU:
     python samples/sample5_multichip.py --virtual
 """
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 

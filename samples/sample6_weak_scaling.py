@@ -13,10 +13,6 @@ overhead, not real interconnect bandwidth — the point here is that the same
 compiled program scales the mesh without code changes.
 """
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 import time

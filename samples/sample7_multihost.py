@@ -12,12 +12,9 @@ or launch workers manually on real hosts:
     python samples/sample7_multihost.py --worker <pid> <nprocs> <coord_ip:port>
 """
 
-import os as _os
+import os
 import subprocess
-import sys as _sys
-
-_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-_sys.path.insert(0, _REPO)
+import sys
 
 
 def worker(process_id: int, num_processes: int, coordinator: str) -> None:
@@ -67,16 +64,20 @@ def worker(process_id: int, num_processes: int, coordinator: str) -> None:
 
 
 def main():
-    if "--worker" in _sys.argv:
-        i = _sys.argv.index("--worker")
-        worker(int(_sys.argv[i + 1]), int(_sys.argv[i + 2]), _sys.argv[i + 3])
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
         return
     coord = "127.0.0.1:19876"
+    # Propagate this process's import path so the workers resolve
+    # liblcg_tpu identically whether it is installed or run from a checkout.
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": os.pathsep.join(p for p in sys.path if p)}
     procs = [
         subprocess.Popen(
-            [_sys.executable, _os.path.abspath(__file__),
+            [sys.executable, os.path.abspath(__file__),
              "--worker", str(pid), "2", coord],
-            env={**_os.environ, "JAX_PLATFORMS": "cpu"},
+            env=env,
         )
         for pid in range(2)
     ]

@@ -11,9 +11,10 @@ import pytest
 
 @pytest.mark.timeout(360)
 def test_two_process_distributed_solve():
-    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "samples", "sample7_multihost.py")
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "samples", "sample7_multihost.py")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
     out = subprocess.run(
         [sys.executable, script], env=env, capture_output=True, text=True,
         timeout=330,

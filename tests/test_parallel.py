@@ -397,3 +397,80 @@ def test_block_jacobi_from_coo_with_shift(banded_system):
     res = solve_sharded(A, b, method="pcg", M=M, params=PARAMS)
     assert res.converged
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+
+
+@pytest.mark.parametrize("comm", ["allgather", "halo"])
+def test_sharded_sparse_transpose_products(comm):
+    """rmv/hmv owner-targeted exchange (halo) and reduce-scatter
+    (allgather) vs the dense answer — no full-length replicated vector in
+    either path."""
+    rng = np.random.default_rng(13)
+    n = 64
+    dense = np.zeros((n, n), dtype=complex)
+    for off in (-2, -1, 0, 1, 3):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        dense[idx, idx + off] = rng.normal(size=len(idx)) + 1j * rng.normal(
+            size=len(idx)
+        )
+    rows, cols = np.nonzero(dense)
+    A = ShardedSparseOperator(
+        n, rows, cols, dense[rows, cols], n_devices=8, comm=comm
+    )
+    assert A.comm == comm
+    v = rng.normal(size=n) + 1j * rng.normal(size=n)
+
+    mesh = make_mesh(8)
+    from jax.sharding import PartitionSpec as P
+
+    def apply(kind):
+        def body(op, x):
+            return getattr(op, kind)(x)
+
+        specs = jax.tree.map(
+            lambda l: P("rows", *([None] * (getattr(l, "ndim", 1) - 1))), A
+        )
+        f = jax.shard_map(body, mesh=mesh, in_specs=(specs, P("rows")),
+                          out_specs=P("rows"))
+        return np.asarray(f(A, jnp.asarray(v)))
+
+    np.testing.assert_allclose(apply("mv"), dense @ v, atol=1e-12)
+    np.testing.assert_allclose(apply("rmv"), dense.T @ v, atol=1e-12)
+    np.testing.assert_allclose(apply("hmv"), dense.conj().T @ v, atol=1e-12)
+
+
+def test_sharded_complex_bicg_halo_comm_with_padding():
+    """BiCG (A^H per iteration) over the halo owner-targeted transpose,
+    with padding rows (n not divisible by the mesh)."""
+    rng = np.random.default_rng(17)
+    n = 203
+    main = (4.0 + rng.uniform(0, 1, n)) + 1j * rng.uniform(-0.5, 0.5, n)
+    off = rng.uniform(-1, 1, n - 1) + 1j * rng.uniform(-0.3, 0.3, n - 1)
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([main, off, off])
+    dense = np.zeros((n, n), dtype=complex)
+    dense[rows, cols] = vals
+    x_true = rng.uniform(1, 2, n) + 1j * rng.uniform(-1, 1, n)
+    b = dense @ x_true
+    A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8, comm="halo")
+    res = solve_sharded(A, b, method="bicg",
+                        params=lcg.SolverParams(epsilon=1e-20))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+
+
+def test_sharded_banded_jacobi_without_stored_diagonal():
+    """A banded matrix with no stored main diagonal + padding rows: the
+    operator materializes a zero diagonal column with 1.0 on padding rows,
+    so diagonal() is well-defined (no inf injected by Jacobi)."""
+    from liblcg_tpu.parallel import ShardedBandedOperator
+
+    n = 13  # 8 devices -> n_local 2, padding rows 13..15
+    rows = np.concatenate([np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(1, n), np.arange(n - 1)])
+    vals = np.ones(2 * (n - 1))
+    A = ShardedBandedOperator(n, rows, cols, vals, n_devices=8)
+    assert 0 in A.offsets
+    d = np.asarray(A.diagonal())
+    np.testing.assert_array_equal(d[n:], 1.0)
+    np.testing.assert_array_equal(d[:n], 0.0)
