@@ -335,7 +335,7 @@ def solve(
 BATCHED_METHODS = frozenset(
     {"cg", "pcg", "cg_fused", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
      "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev", "pg",
-     "spg", "tfqmr"}
+     "spg", "tfqmr", "gmres", "pgmres", "minres", "pminres"}
 )
 
 

@@ -136,3 +136,90 @@ def test_pminres_indefinite_and_spd(spd_small):
                    params=lcg.SolverParams(epsilon=1e-15))
     assert r2.converged
     np.testing.assert_allclose(np.asarray(r2.x), xs, atol=1e-4)
+
+
+def test_gmres_counts_operator_products_and_exits_early():
+    """t counts operator products (like every other engine), and the
+    recurred Givens residual exits mid-cycle: a well-conditioned system
+    converges in far fewer products than one restart cycle."""
+    rng = np.random.default_rng(3)
+    n = 120
+    A = np.eye(n) * 4 + rng.uniform(-1, 1, (n, n)) / np.sqrt(n)
+    x_true = rng.uniform(1, 2, n)
+    b = A @ x_true
+    res = lcg.solve(A, b, method="gmres", restart=64,
+                    params=lcg.SolverParams(epsilon=1e-16))
+    assert res.converged
+    assert 1 < int(res.iterations) < 30      # products, not cycles
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+
+
+def test_gmres_respects_max_iterations_in_products():
+    rng = np.random.default_rng(5)
+    n = 80
+    A = np.eye(n) * 2 + rng.uniform(-1, 1, (n, n)) / np.sqrt(n)
+    b = rng.normal(size=n)
+    res = lcg.solve(A, b, method="gmres", restart=16,
+                    params=lcg.SolverParams(epsilon=1e-30, max_iterations=10))
+    assert int(res.status_code) == int(lcg.Status.REACHED_MAX_ITERATIONS)
+    assert int(res.iterations) <= 10
+
+
+def test_gmres_ill_conditioned_f32():
+    """cond(A) ~ 1e5 in f32: the Givens QR converges to near the f32
+    floor — the normal-equations formulation (cond squared ~ 1e10) could
+    not represent the small singular values at all."""
+    rng = np.random.default_rng(11)
+    n = 64
+    U = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    V = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    A = (U * np.logspace(0, -5, n)) @ V.T
+    x_true = rng.uniform(1, 2, n)
+    b = A @ x_true
+    res = lcg.solve(A.astype(np.float32), b.astype(np.float32),
+                    method="gmres", restart=64,
+                    params=lcg.SolverParams(epsilon=1e-9, max_iterations=500))
+    assert res.converged
+    x = np.asarray(res.x, np.float64)
+    relres = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert relres < 1e-5
+
+
+def test_gmres_batched_matches_single():
+    rng = np.random.default_rng(3)
+    n = 96
+    A = np.eye(n) * 4 + rng.uniform(-1, 1, (n, n)) / np.sqrt(n)
+    X = np.stack([rng.uniform(1, 2, n) for _ in range(3)])
+    B = X @ A.T
+    params = lcg.SolverParams(epsilon=1e-16)
+    rb = lcg.solve_batched(A, B, method="gmres", params=params)
+    assert np.all(np.asarray(rb.status_code) == int(lcg.Status.CONVERGENCE))
+    np.testing.assert_allclose(np.asarray(rb.x), X, atol=1e-6)
+    single = lcg.solve(A, B[1], method="gmres", params=params)
+    assert int(np.asarray(rb.iterations)[1]) == int(single.iterations)
+
+
+def test_minres_batched():
+    rng = np.random.default_rng(8)
+    n = 72
+    M = rng.uniform(-1, 1, (n, n))
+    S = (M + M.T) / 2 - 1.5 * np.eye(n) + 4 * np.eye(n)
+    X = np.stack([rng.uniform(1, 2, n) for _ in range(3)])
+    B = X @ S.T
+    rb = lcg.solve_batched(S, B, method="minres",
+                           params=lcg.SolverParams(epsilon=1e-18))
+    assert np.all(np.asarray(rb.status_code) == int(lcg.Status.CONVERGENCE))
+    np.testing.assert_allclose(np.asarray(rb.x), X, atol=1e-6)
+
+
+def test_pgmres_batched():
+    rng = np.random.default_rng(9)
+    n = 64
+    A = np.diag(np.linspace(1, 50, n)) + rng.uniform(-1, 1, (n, n)) / n
+    X = np.stack([rng.uniform(1, 2, n) for _ in range(2)])
+    B = X @ A.T
+    M = lcg.JacobiPreconditioner(lcg.DenseOperator(A))
+    rb = lcg.solve_batched(A, B, method="pgmres", M=M,
+                           params=lcg.SolverParams(epsilon=1e-16))
+    assert np.all(np.asarray(rb.status_code) == int(lcg.Status.CONVERGENCE))
+    np.testing.assert_allclose(np.asarray(rb.x), X, atol=1e-6)
