@@ -49,9 +49,12 @@ from .operators import (
     aslinearoperator,
     make_sparse_operator,
     merge_complex,
+    merge_complex_interleaved,
     realify,
+    realify_coo,
     set2box,
     split_complex,
+    split_complex_interleaved,
 )
 from .solve import (
     BATCHED_METHODS,
@@ -101,9 +104,12 @@ __all__ = [
     "BandedOperator",
     "RealifiedOperator",
     "realify",
+    "realify_coo",
     "set2box",
     "split_complex",
     "merge_complex",
+    "split_complex_interleaved",
+    "merge_complex_interleaved",
     "make_sparse_operator",
     "MatrixFreeOperator",
     "NormalEqOperator",

@@ -693,3 +693,49 @@ def set2box(low, hig, a, low_bound: bool = True, hig_bound: bool = True):
     hig_val = hig if hig_bound else hig - 1e-16
     low_val = low if low_bound else low + 1e-16
     return jnp.where(a >= hig, hig_val, jnp.where(a <= low, low_val, a))
+
+
+def realify_coo(rows, cols, vals):
+    """Interleaved real 2n-form of a complex COO matrix (host-side).
+
+    Each complex entry ``a + bi`` at (i, j) becomes the 2x2 block
+    ``[[a, -b], [b, a]]`` at rows (2i, 2i+1), cols (2j, 2j+1).  Unlike the
+    ``[Re; Im]``-stacked block layout of :class:`RealifiedOperator` (whose
+    off-diagonal blocks sit at offset n), the interleaving PRESERVES
+    BANDEDNESS: a diagonal at offset d maps to offsets {2d-1, 2d, 2d+1},
+    so banded complex systems keep a gather-free DIA form — the
+    complex-on-real-backend fast path (the capability matched:
+    clcg_cuda.cu's complex-on-accelerator stack).  Returns (rows2, cols2,
+    vals2) with exact zeros dropped; feed to make_sparse_operator /
+    ShardedBandedOperator with n = 2 * n_complex.
+
+    Pack/unpack vectors with :func:`split_complex_interleaved` /
+    :func:`merge_complex_interleaved`.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    re = np.ascontiguousarray(vals.real)
+    im = np.ascontiguousarray(vals.imag)
+    r2 = np.concatenate([2 * rows, 2 * rows, 2 * rows + 1, 2 * rows + 1])
+    c2 = np.concatenate([2 * cols, 2 * cols + 1, 2 * cols, 2 * cols + 1])
+    v2 = np.concatenate([re, -im, im, re])
+    keep = v2 != 0
+    return r2[keep], c2[keep], v2[keep]
+
+
+def split_complex_interleaved(z) -> np.ndarray:
+    """Pack a complex vector as [re0, im0, re1, im1, ...] (host numpy) for
+    a solve against the :func:`realify_coo` form."""
+    z = np.asarray(z)
+    out = np.empty(2 * z.shape[0], dtype=z.real.dtype)
+    out[0::2] = z.real
+    out[1::2] = z.imag
+    return out
+
+
+def merge_complex_interleaved(x2) -> np.ndarray:
+    """Unpack an interleaved realified solution back into complex (host
+    numpy — complex dtypes may not exist on the solve's backend)."""
+    x2 = np.asarray(x2)
+    return x2[0::2] + 1j * x2[1::2]

@@ -1,0 +1,138 @@
+"""Continuously-tracked weak-scaling benchmark (BASELINE.md north star).
+
+Runs the 3-D Laplacian CG weak-scaling sweep on the virtual CPU mesh,
+records nnz/s, parallel efficiency and the *per-iteration collective
+counts* (from the optimized HLO) into ``weak_scaling.json`` at the repo
+root, and asserts the >= 80% efficiency target.  Virtual-CPU efficiency
+validates the SPMD machinery's overhead (not ICI bandwidth); the
+communication-count assertion is the hardware-independent half of the
+target: CG must run with ONE fused all-reduce pair per iteration and
+O(1) halo permutes, independent of mesh size.
+"""
+
+import json
+import os
+import re
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import liblcg_tpu as lcg
+from liblcg_tpu.parallel import ShardedLaplacian3D, make_mesh, solve_sharded
+
+ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weak_scaling.json",
+)
+
+
+def _while_body_collectives(hlo_text: str) -> dict:
+    """Count collectives inside while-body computations of an HLO module.
+
+    Computations are ``%name (args) -> type { ... }`` blocks; the solver
+    loop body is the one referenced by the while op's ``body=``.  Counts
+    the whole module too, as a fallback upper bound."""
+    counts = {"all_reduce_body": 0, "collective_permute_body": 0,
+              "all_gather_body": 0,
+              "all_reduce_total": hlo_text.count("all-reduce("),
+              "collective_permute_total": hlo_text.count("collective-permute("),
+              "all_gather_total": hlo_text.count("all-gather(")}
+    body_names = set(re.findall(r"body=%?([\w.\-]+)", hlo_text))
+    blocks = re.findall(
+        r"^(?:%)?([\w.\-]+)[^\n{]*\{(.*?)^\}", hlo_text,
+        re.MULTILINE | re.DOTALL,
+    )
+    for name, body in blocks:
+        if name in body_names:
+            counts["all_reduce_body"] += body.count("all-reduce(")
+            counts["collective_permute_body"] += body.count("collective-permute(")
+            counts["all_gather_body"] += body.count("all-gather(")
+    return counts
+
+
+def _lowered_cg_hlo(n_devices: int):
+    """Optimized HLO of the sharded CG loop over an n_devices mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from liblcg_tpu.parallel import api
+    from liblcg_tpu.solvers import harness as H
+    from liblcg_tpu.solvers import real as _real
+
+    nz, ny, nx = 2 * n_devices, 4, 4
+    n = nz * ny * nx
+    S = ShardedLaplacian3D(nz, ny, nx, n_devices=n_devices, dtype=jnp.float32)
+    mesh = make_mesh(n_devices)
+    params = lcg.SolverParams(epsilon=1e-30, max_iterations=10)
+
+    def body(A, b, x0):
+        with H.distributed("rows", logical_dim=n):
+            return _real.cg(A, b, x0, params=params)
+
+    out_specs = api._carry_specs(
+        _real.cg,
+        lcg.MatrixFreeOperator(lambda v: v, n=n // n_devices, dtype=jnp.float32),
+        jnp.float32, n // n_devices, "rows",
+        dict(params=params, monitor=None, trace_len=0),
+    )
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda l: P(), S), P("rows"), P("rows")),
+        out_specs=out_specs,
+    )
+    b = jnp.ones((n,), jnp.float32)
+    return jax.jit(mapped).lower(S, b, b * 0).compile().as_text()
+
+
+def test_weak_scaling_artifact_and_thresholds():
+    nz_per, ny, nx = 8, 32, 32
+    iters = 30
+    params = lcg.SolverParams(epsilon=1e-30, max_iterations=iters)
+
+    rows = []
+    base_rate = None
+    for d in (1, 2, 4, 8):
+        nz = nz_per * d
+        S = ShardedLaplacian3D(nz, ny, nx, n_devices=d, dtype=jnp.float32)
+        b = np.ones(nz * ny * nx, dtype=np.float32)
+        mesh = make_mesh(d)
+        res = solve_sharded(S, b, mesh=mesh, params=params)
+        np.asarray(res.x[:4])
+        assert int(res.iterations) == iters
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = solve_sharded(S, b, mesh=mesh, params=params)
+            np.asarray(res.x[:4])
+            best = min(best, time.perf_counter() - t0)
+        rate = S.nnz * iters / best
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * d)
+        rows.append({"devices": d, "grid": [nz, ny, nx],
+                     "nnz_per_s": rate, "efficiency": eff})
+
+    counts = _while_body_collectives(_lowered_cg_hlo(8))
+
+    artifact = {
+        "workload": "3D 7-point Laplacian CG, constant work per device",
+        "platform": jax.devices()[0].platform,
+        "note": "virtual CPU mesh: efficiency measures SPMD machinery "
+                "overhead, not ICI bandwidth",
+        "sweep": rows,
+        "cg_while_body_collectives": counts,
+    }
+    with open(ARTIFACT, "w") as f:
+        json.dump(artifact, f, indent=2)
+
+    # BASELINE target: >= 80% weak-scaling efficiency at the full mesh.
+    assert rows[-1]["efficiency"] >= 0.8, rows
+
+    # Hardware-independent communication bound: CG's loop body must fuse
+    # its reductions into at most 2 all-reduces and exchange at most 2
+    # halo permutes per iteration, with no all-gathers.
+    assert 1 <= counts["all_reduce_body"] <= 2, counts
+    assert counts["collective_permute_body"] <= 2, counts
+    assert counts["all_gather_body"] == 0, counts
