@@ -207,6 +207,54 @@ def _compiled_solver(
     return jitted
 
 
+def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required):
+    """Route an eligible f32 CG to the whole-solve VMEM Pallas kernel
+    (ops/pallas_cg.py): the entire iteration loop runs inside one kernel
+    with x/g/d VMEM-resident — measured ~13x the XLA while-loop form on
+    case_10K (PERFORMANCE.md).  Returns a SolveResult, or None when the
+    solve is ineligible and ``required`` is False."""
+    from .operators import BandedOperator
+
+    def fail(msg):
+        if required:
+            raise ValueError(f"pallas='always' but {msg}")
+        return None
+
+    if monitor is not None or trace_len > 0:
+        return fail("the kernel does not support monitor/trace")
+    if not isinstance(A, BandedOperator):
+        return fail("the operator is not a BandedOperator (DIA)")
+    if jnp.dtype(b.dtype) != jnp.float32 or jnp.dtype(A.dtype) != jnp.float32:
+        return fail("the kernel is float32-only (Mosaic has no f64)")
+    from .ops.pallas_cg import fits_in_vmem, pallas_cg_dia
+
+    n = A.shape[0]
+    if not fits_in_vmem(n, A.n_diagonals):
+        return fail(f"state for n={n} exceeds the VMEM budget")
+    interpret = jax.default_backend() == "cpu"
+    if interpret and not required:
+        return None  # the interpreter is far slower than the XLA loop
+
+    x0_arr = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    x, t, res = pallas_cg_dia(
+        A.offsets, A.diag_vals, b, x0_arr, n=n,
+        eps=params.epsilon, max_iter=params.effective_max_iterations(),
+        abs_diff=bool(params.abs_diff), interpret=interpret,
+    )
+    nan = jnp.isnan(res)
+    conv = res <= params.epsilon
+    status = jnp.where(
+        nan, int(Status.NAN_VALUE),
+        jnp.where(
+            conv & (t == 0), int(Status.ALREADY_OPTIMIZED),
+            jnp.where(conv, int(Status.CONVERGENCE),
+                      int(Status.REACHED_MAX_ITERATIONS)),
+        ),
+    ).astype(jnp.int32)
+    return SolveResult(x=x, status_code=status, iterations=t, residual=res,
+                       trace=None)
+
+
 def _error_result(x, status: Status) -> SolveResult:
     return SolveResult(
         x=x,
@@ -236,6 +284,7 @@ def solve(
     check: bool = False,
     lower_inclusive: bool = True,
     upper_inclusive: bool = True,
+    pallas: str = "auto",
 ) -> SolveResult:
     """Solve ``A x = b`` with the selected Krylov method.
 
@@ -259,6 +308,12 @@ def solve(
     monitor : optional traced callback ``(x, residual, t) -> bool``; a True
         return stops the solve with Status.STOP (reference Pfp contract,
         lcg.h:53-54).
+    pallas : "auto" (default) routes eligible solves — f32 CG on a
+        :class:`BandedOperator` whose state passes ``fits_in_vmem``, no
+        monitor/trace, on an accelerator backend — to the whole-solve
+        VMEM-resident Pallas kernel (~13x the XLA loop on small systems,
+        PERFORMANCE.md); "never" disables; "always" requires it (raises
+        if infeasible; uses the interpreter on CPU backends, for tests).
     trace_len : if > 0, record the first ``trace_len`` residuals.
     key : PRNG key for the complex CGS/BiCGSTAB/TFQMR shadow residual.
     check : if True, raise LcgError on failure statuses.
@@ -293,6 +348,18 @@ def solve(
         return _error_result(b, Status.INVALID_VARIABLE_SIZE)
     if x0 is not None and jnp.shape(x0) != jnp.shape(b):
         return _error_result(b, Status.SIZE_NOT_MATCH)
+
+    if pallas not in ("auto", "never", "always"):
+        raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
+    if pallas != "never" and m == "cg":
+        result = _try_pallas_cg(A, b, x0, params, monitor, trace_len,
+                                required=pallas == "always")
+        if result is not None:
+            if check:
+                from .utils.errors import check_status
+
+                check_status(result.status_code, raise_error=True, quiet=True)
+            return result
 
     takes_key = is_complex and m in ("cgs", "bicgstab", "tfqmr")
     M_static = needs_M and not isinstance(M, LinearOperator)

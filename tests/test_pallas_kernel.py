@@ -53,3 +53,63 @@ def test_kernel_rejects_oversize_and_wrong_type():
     A = lcg.DenseOperator(np.eye(8, dtype=np.float32))
     with pytest.raises(ValueError):
         solve_cg_vmem(A, np.ones(8, np.float32))
+
+
+def _banded_f32(n=256, seed=3):
+    rng = np.random.default_rng(seed)
+    main = 4.0 + rng.uniform(0, 1, n)
+    off = rng.uniform(-1, 1, n - 1)
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([main, off, off]).astype(np.float32)
+    x_true = rng.uniform(1, 2, n).astype(np.float32)
+    b = np.zeros(n, np.float32)
+    np.add.at(b, rows, vals * x_true[cols])
+    return lcg.BandedOperator(n, n, rows, cols, vals), b, x_true
+
+
+def test_solve_dispatches_to_pallas_when_required():
+    """solve(pallas='always') routes through the kernel (interpreter on
+    this CPU backend) and matches the XLA-loop answer and status."""
+    A, b, x_true = _banded_f32()
+    params = lcg.SolverParams(epsilon=1e-12)
+    res_k = lcg.solve(A, b, params=params, pallas="always")
+    res_x = lcg.solve(A, b, params=params, pallas="never")
+    assert res_k.converged
+    np.testing.assert_allclose(np.asarray(res_k.x), x_true, atol=1e-3)
+    assert abs(int(res_k.iterations) - int(res_x.iterations)) <= 2
+
+
+def test_pallas_dispatch_status_mapping():
+    A, b, _ = _banded_f32()
+    res = lcg.solve(A, b, pallas="always",
+                    params=lcg.SolverParams(epsilon=1e-12, max_iterations=2))
+    assert int(res.status_code) == int(lcg.Status.REACHED_MAX_ITERATIONS)
+    assert int(res.iterations) == 2
+    # Warm restart from the exact solution -> ALREADY_OPTIMIZED.
+    res0 = lcg.solve(A, b, x0=lcg.solve(A, b, pallas="always").x,
+                     pallas="always", params=lcg.SolverParams(epsilon=1e-4))
+    assert int(res0.status_code) == int(lcg.Status.ALREADY_OPTIMIZED)
+
+
+def test_pallas_always_rejects_infeasible():
+    A, b, _ = _banded_f32()
+    with pytest.raises(ValueError, match="float32-only"):
+        lcg.solve(A, jnp.asarray(b, jnp.float64),
+                  lmin=None, pallas="always",
+                  params=lcg.SolverParams(epsilon=1e-10))
+    with pytest.raises(ValueError, match="BandedOperator"):
+        lcg.solve(np.eye(8, dtype=np.float32), np.ones(8, np.float32),
+                  pallas="always")
+    with pytest.raises(ValueError, match="monitor"):
+        lcg.solve(A, b, pallas="always", monitor=lambda x, r, t: False)
+
+
+def test_pallas_auto_on_cpu_uses_xla_loop():
+    """On a CPU backend 'auto' must NOT route to the interpreter (it is
+    orders of magnitude slower); the solve still returns trace support."""
+    A, b, x_true = _banded_f32()
+    res = lcg.solve(A, b, params=lcg.SolverParams(epsilon=1e-12),
+                    trace_len=16)
+    assert res.trace is not None
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
