@@ -148,3 +148,24 @@ def test_aslinearoperator_errors():
     assert isinstance(op, lcg.DenseOperator)
     same = lcg.aslinearoperator(op)
     assert same is op
+
+
+def test_docs_build_runs():
+    """The docs generator (the reference ships refman.pdf; we ship a
+    markdown API build) runs clean and covers the package modules."""
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "docs", "generate_api.py")],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    idx = os.path.join(repo, "docs", "api", "index.md")
+    assert os.path.exists(idx)
+    text = open(idx).read()
+    for mod in ("liblcg_tpu.solve", "liblcg_tpu.parallel.api",
+                "liblcg_tpu.ops.pallas_cg"):
+        assert mod in text
