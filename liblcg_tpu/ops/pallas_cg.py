@@ -189,3 +189,149 @@ def pallas_cg_dia(
         interpret=interpret,
     )(vals, b2, x02)
     return x.reshape(n), t[0, 0], res[0, 0]
+
+
+def _pcg_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,
+                vals_ref, invd_ref, b_ref, x0_ref,
+                x_out, t_out, res_out,
+                d_ref, d_ext_ref):
+    """Jacobi-preconditioned CG (Kaasschieter recurrence, lcg.cpp:293-434)
+    with the whole state VMEM-resident: the reference's flagship CUDA path
+    (lcg_cuda.cu:402-559 + sample8's csric02/Jacobi M) as ONE kernel.
+    Stopping metric uses ||r||^2 like ``lpcg`` (convention r = B - Ax)."""
+    x = x0_ref[...]
+
+    def dia_mv(v_ext):
+        acc = None
+        for i, o in enumerate(offsets):
+            term = vals_ref[i : i + 1, :] * v_ext[:, pad_l + o : pad_l + o + n]
+            acc = term if acc is None else acc + term
+        return acc
+
+    d_ext_ref[...] = jnp.zeros_like(d_ext_ref)
+    d_ext_ref[:, pad_l : pad_l + n] = x
+    r = b_ref[...] - dia_mv(d_ext_ref[...])
+    z = invd_ref[...] * r
+    d_ref[...] = z
+    d_ext_ref[:, pad_l : pad_l + n] = z
+    zTr0 = jnp.sum(z * r)
+    rmod0 = jnp.sum(r * r)
+    xmod0 = jnp.maximum(jnp.sum(x * x), 1.0)
+
+    def metric(rmod, xmod):
+        if abs_diff:
+            return jnp.sqrt(rmod) / n
+        return rmod / xmod
+
+    def cond(c):
+        x, r, zTr, rmod, xmod, t = c
+        return (metric(rmod, xmod) > eps) & (t < max_iter)
+
+    def body(c):
+        x, r, zTr, rmod, xmod, t = c
+        ad = dia_mv(d_ext_ref[...])
+        d = d_ref[...]
+        dTAd = jnp.sum(d * ad)
+        ak = zTr / dTAd                          # lcg.cpp:390
+        x = x + ak * d
+        r = r - ak * ad
+        z = invd_ref[...] * r
+        zTr1 = jnp.sum(z * r)
+        betak = zTr1 / zTr                       # lcg.cpp:415
+        dnew = z + betak * d
+        d_ref[...] = dnew
+        d_ext_ref[:, pad_l : pad_l + n] = dnew
+        return (x, r, zTr1, jnp.sum(r * r),
+                jnp.maximum(jnp.sum(x * x), 1.0), t + 1)
+
+    x, r, zTr, rmod, xmod, t = lax.while_loop(
+        cond, body, (x, r, zTr0, rmod0, xmod0, jnp.int32(0))
+    )
+    x_out[...] = x
+    t_out[0, 0] = t
+    res_out[0, 0] = metric(rmod, xmod)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "eps", "max_iter", "abs_diff", "interpret"),
+)
+def pallas_pcg_dia(
+    offsets: Tuple[int, ...],
+    dia_vals: jnp.ndarray,           # (n_diags, n)
+    inv_diag: jnp.ndarray,           # (n,)
+    b: jnp.ndarray,                  # (n,)
+    x0: jnp.ndarray,                 # (n,)
+    *,
+    n: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Whole-solve Jacobi-PCG kernel.  Returns (x, iterations, residual)."""
+    pad_l = max(0, -min(offsets, default=0))
+    pad_r = max(0, max(offsets, default=0))
+    dt = jnp.float32
+    vals = dia_vals.astype(dt)
+    invd = inv_diag.astype(dt).reshape(1, n)
+    b2 = b.astype(dt).reshape(1, n)
+    x02 = x0.astype(dt).reshape(1, n)
+
+    kernel = functools.partial(
+        _pcg_kernel, offsets, pad_l, pad_r, n, float(eps), max_iter, abs_diff
+    )
+    x, t, res = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dt),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dt),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n), dt),                      # d
+            pltpu.VMEM((1, pad_l + n + pad_r), dt),      # padded direction image
+        ],
+        interpret=interpret,
+    )(vals, invd, b2, x02)
+    return x.reshape(n), t[0, 0], res[0, 0]
+
+
+def solve_pcg_vmem(A, M, b, x0=None, *, params=None, interpret: bool = False):
+    """Public entry: whole-solve Jacobi-PCG kernel for a BandedOperator and
+    a diagonal preconditioner (anything exposing ``inv_diag``).  Raises
+    ValueError when ineligible — callers fall back to solve()."""
+    from ..operators import BandedOperator
+    from ..types import DEFAULT_PARAMS
+
+    if not isinstance(A, BandedOperator):
+        raise ValueError("solve_pcg_vmem needs a BandedOperator (DIA storage)")
+    inv_diag = getattr(M, "inv_diag", None)
+    if inv_diag is None:
+        raise ValueError("solve_pcg_vmem needs a diagonal preconditioner "
+                         "(JacobiPreconditioner)")
+    n = A.shape[0]
+    if not fits_in_vmem(n, A.n_diagonals):
+        raise ValueError(
+            f"state for n={n}, {A.n_diagonals} diagonals exceeds the VMEM "
+            "budget; use solve(..., method='pcg')"
+        )
+    params = params or DEFAULT_PARAMS
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    return pallas_pcg_dia(
+        A.offsets, A.diag_vals, jnp.asarray(inv_diag), b, x0, n=n,
+        eps=params.epsilon, max_iter=params.effective_max_iterations(),
+        abs_diff=bool(params.abs_diff), interpret=interpret,
+    )

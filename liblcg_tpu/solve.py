@@ -207,11 +207,13 @@ def _compiled_solver(
     return jitted
 
 
-def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required):
-    """Route an eligible f32 CG to the whole-solve VMEM Pallas kernel
+def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
+                   M=None):
+    """Route an eligible f32 CG/PCG to the whole-solve VMEM Pallas kernel
     (ops/pallas_cg.py): the entire iteration loop runs inside one kernel
-    with x/g/d VMEM-resident — measured ~13x the XLA while-loop form on
-    case_10K (PERFORMANCE.md).  Returns a SolveResult, or None when the
+    with x/r/d VMEM-resident — measured ~13x the XLA while-loop form on
+    case_10K (PERFORMANCE.md).  PCG requires a diagonal preconditioner
+    (JacobiPreconditioner).  Returns a SolveResult, or None when the
     solve is ineligible and ``required`` is False."""
     from .operators import BandedOperator
 
@@ -226,7 +228,13 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required):
         return fail("the operator is not a BandedOperator (DIA)")
     if jnp.dtype(b.dtype) != jnp.float32 or jnp.dtype(A.dtype) != jnp.float32:
         return fail("the kernel is float32-only (Mosaic has no f64)")
-    from .ops.pallas_cg import fits_in_vmem, pallas_cg_dia
+    inv_diag = None
+    if M is not None:
+        inv_diag = getattr(M, "inv_diag", None)
+        if inv_diag is None:
+            return fail("pcg kernel needs a diagonal preconditioner "
+                        "(JacobiPreconditioner)")
+    from .ops.pallas_cg import fits_in_vmem, pallas_cg_dia, pallas_pcg_dia
 
     n = A.shape[0]
     if not fits_in_vmem(n, A.n_diagonals):
@@ -236,11 +244,18 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required):
         return None  # the interpreter is far slower than the XLA loop
 
     x0_arr = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
-    x, t, res = pallas_cg_dia(
-        A.offsets, A.diag_vals, b, x0_arr, n=n,
-        eps=params.epsilon, max_iter=params.effective_max_iterations(),
+    common = dict(
+        n=n, eps=params.epsilon,
+        max_iter=params.effective_max_iterations(),
         abs_diff=bool(params.abs_diff), interpret=interpret,
     )
+    if inv_diag is not None:
+        x, t, res = pallas_pcg_dia(
+            A.offsets, A.diag_vals, jnp.asarray(inv_diag), b, x0_arr,
+            **common,
+        )
+    else:
+        x, t, res = pallas_cg_dia(A.offsets, A.diag_vals, b, x0_arr, **common)
     nan = jnp.isnan(res)
     conv = res <= params.epsilon
     status = jnp.where(
@@ -351,9 +366,10 @@ def solve(
 
     if pallas not in ("auto", "never", "always"):
         raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
-    if pallas != "never" and m == "cg":
+    if pallas != "never" and m in ("cg", "pcg"):
         result = _try_pallas_cg(A, b, x0, params, monitor, trace_len,
-                                required=pallas == "always")
+                                required=pallas == "always",
+                                M=M if m == "pcg" else None)
         if result is not None:
             if check:
                 from .utils.errors import check_status

@@ -134,3 +134,22 @@ def test_fused_stencil_cg_interpret():
     bad = lcg.Laplacian3DOperator(8, 8, 100, dtype=jnp.float32)
     with pytest.raises(ValueError, match="unsupported"):
         solve_cg_stencil(bad, jnp.ones(8 * 8 * 100, jnp.float32))
+
+
+def test_pcg_kernel_matches_engine():
+    """Whole-solve Jacobi-PCG kernel: same iterations and answer as the
+    XLA pcg engine (auto-routed via solve(pallas='always'))."""
+    A, b, x_true = _banded_f32(seed=5)
+    M = lcg.JacobiPreconditioner(A)
+    params = lcg.SolverParams(epsilon=1e-12)
+    res_k = lcg.solve(A, b, method="pcg", M=M, params=params, pallas="always")
+    res_x = lcg.solve(A, b, method="pcg", M=M, params=params, pallas="never")
+    assert res_k.converged
+    np.testing.assert_allclose(np.asarray(res_k.x), x_true, atol=1e-3)
+    assert abs(int(res_k.iterations) - int(res_x.iterations)) <= 2
+
+
+def test_pcg_kernel_requires_diagonal_preconditioner():
+    A, b, _ = _banded_f32()
+    with pytest.raises(ValueError, match="diagonal"):
+        lcg.solve(A, b, method="pcg", M=lambda v: v, pallas="always")
