@@ -24,6 +24,14 @@ from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
+
+#: Above this many diagonals the unrolled static-slice product is replaced
+#: by a lax.scan of dynamic slices: the unrolled graph compiles in
+#: O(minutes) on the TPU toolchain at ~500 diagonals (measured 411 s for a
+#: 549-diagonal realified system) while the scan compiles in seconds and
+#: runs the same arithmetic as a single fused loop region.
+SCAN_THRESHOLD = 64
 
 
 def coo_to_dia(
@@ -65,12 +73,22 @@ def dia_spmv(offsets, diag_vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     pad_l = max(0, max((-o for o in offs), default=0))
     pad_r = max(0, max((n + o - m for o in offs), default=0))
     x_pad = jnp.pad(x, (pad_l, pad_r))
+    out_dt = jnp.promote_types(diag_vals.dtype, x.dtype)
+    if len(offs) > SCAN_THRESHOLD:
+        starts = jnp.asarray([pad_l + o for o in offs], jnp.int32)
+
+        def step(acc, ov):
+            o, v = ov
+            return acc + v * lax.dynamic_slice(x_pad, (o,), (n,)), None
+
+        y, _ = lax.scan(step, jnp.zeros((n,), out_dt), (starts, diag_vals))
+        return y
     y = None
     for d, o in enumerate(offs):
         term = diag_vals[d] * x_pad[pad_l + o : pad_l + o + n]
         y = term if y is None else y + term
     if y is None:
-        y = jnp.zeros((n,), dtype=jnp.promote_types(diag_vals.dtype, x.dtype))
+        y = jnp.zeros((n,), dtype=out_dt)
     return y
 
 
@@ -85,6 +103,18 @@ def dia_spmv_transpose(offsets, diag_vals, x, n_cols: int, conj: bool = False):
     vals = jnp.conj(diag_vals) if conj else diag_vals
     pad_l = max(0, max((o for o in offs), default=0))
     pad_r = max(0, max((n_cols - o - n for o in offs), default=0))
+    out_dt = jnp.promote_types(diag_vals.dtype, x.dtype)
+    if len(offs) > SCAN_THRESHOLD:
+        starts = jnp.asarray([pad_l - o for o in offs], jnp.int32)
+        xn = x[:n]
+
+        def step(acc, ov):
+            o, v = ov
+            p_pad = jnp.pad(v * xn, (pad_l, pad_r))
+            return acc + lax.dynamic_slice(p_pad, (o,), (n_cols,)), None
+
+        y, _ = lax.scan(step, jnp.zeros((n_cols,), out_dt), (starts, vals))
+        return y
     y = None
     for d, o in enumerate(offs):
         p = vals[d] * x[:n]
@@ -93,5 +123,5 @@ def dia_spmv_transpose(offsets, diag_vals, x, n_cols: int, conj: bool = False):
         term = p_pad[pad_l - o : pad_l - o + n_cols]
         y = term if y is None else y + term
     if y is None:
-        y = jnp.zeros((n_cols,), dtype=jnp.promote_types(diag_vals.dtype, x.dtype))
+        y = jnp.zeros((n_cols,), dtype=out_dt)
     return y

@@ -169,3 +169,40 @@ def test_docs_build_runs():
     for mod in ("liblcg_tpu.solve", "liblcg_tpu.parallel.api",
                 "liblcg_tpu.ops.pallas_cg"):
         assert mod in text
+
+
+def test_dia_scan_path_matches_dense():
+    """Above SCAN_THRESHOLD diagonals the DIA products switch to a
+    lax.scan of dynamic slices (compile-time fix for wide scattered
+    patterns, e.g. realified complex systems); parity vs dense for
+    mv / transpose / Hermitian on a rectangular complex matrix."""
+    import jax.numpy as jnp
+
+    from liblcg_tpu.ops import dia as D
+
+    rng = np.random.default_rng(0)
+    n, m = 300, 280
+    dense = np.zeros((n, m), dtype=complex)
+    for off in rng.choice(np.arange(-200, 200), size=120, replace=False):
+        idx = np.arange(max(0, -off), min(n, m - off))
+        if len(idx):
+            dense[idx, idx + off] = rng.normal(size=len(idx)) + \
+                1j * rng.normal(size=len(idx))
+    rows, cols = np.nonzero(dense)
+    offs, dv = D.coo_to_dia(n, m, rows, cols, dense[rows, cols])
+    assert len(offs) > D.SCAN_THRESHOLD
+    x = jnp.asarray(rng.normal(size=m) + 1j * rng.normal(size=m))
+    np.testing.assert_allclose(
+        np.asarray(D.dia_spmv(offs, jnp.asarray(dv), x)),
+        dense @ np.asarray(x), atol=1e-12,
+    )
+    xr = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    np.testing.assert_allclose(
+        np.asarray(D.dia_spmv_transpose(offs, jnp.asarray(dv), xr, m)),
+        dense.T @ np.asarray(xr), atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(D.dia_spmv_transpose(offs, jnp.asarray(dv), xr, m,
+                                        conj=True)),
+        dense.conj().T @ np.asarray(xr), atol=1e-12,
+    )

@@ -474,3 +474,21 @@ def test_sharded_banded_jacobi_without_stored_diagonal():
     d = np.asarray(A.diagonal())
     np.testing.assert_array_equal(d[n:], 1.0)
     np.testing.assert_array_equal(d[:n], 0.0)
+
+
+@pytest.mark.parametrize("method", ["gmres", "minres"])
+def test_sharded_batched_krylov_extras(banded_system, method):
+    """Batched x sharded composition for the round-2 batched methods
+    (distributed Arnoldi/Lanczos bases with per-system scalars)."""
+    from liblcg_tpu.parallel import ShardedBandedOperator
+
+    n, rows, cols, vals, b, x_true = banded_system
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    X = np.stack([x_true, 2.0 * x_true, 0.5 * x_true])
+    B = X @ dense.T
+    A = ShardedBandedOperator(n, rows, cols, vals, n_devices=8)
+    res = solve_sharded(A, B, method=method,
+                        params=lcg.SolverParams(epsilon=1e-16))
+    assert np.all(np.asarray(res.status_code) == int(lcg.Status.CONVERGENCE))
+    np.testing.assert_allclose(np.asarray(res.x), X, atol=1e-5)
