@@ -45,8 +45,6 @@ import sys
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
-
 
 def _note(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
@@ -247,6 +245,10 @@ def bench_complex_banded():
 
 
 def main():
+    # x64 is a benchmark-process choice, not an import side effect: the
+    # f64 workloads need it, and flipping global config on import would
+    # corrupt any process that merely imports this module.
+    jax.config.update("jax_enable_x64", True)
     # Remote compile times through the tunnel vary 1.5-8x run to run; a
     # soft deadline guarantees the JSON line is always printed with at
     # least the headline workloads.  Workloads run most-important-first.

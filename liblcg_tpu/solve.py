@@ -224,6 +224,9 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
 
     if monitor is not None or trace_len > 0:
         return fail("the kernel does not support monitor/trace")
+    if params.reduce_dtype is not None:
+        return fail("the kernel accumulates in f32 only "
+                    "(reduce_dtype is not supported)")
     if not isinstance(A, BandedOperator):
         return fail("the operator is not a BandedOperator (DIA)")
     if jnp.dtype(b.dtype) != jnp.float32 or jnp.dtype(A.dtype) != jnp.float32:
@@ -459,6 +462,7 @@ def solve_batched(
     key=None,
     lmin=None,
     lmax=None,
+    restart: int = 32,
     check: bool = False,
 ) -> SolveResult:
     """Solve ``A x_i = b_i`` for a stack of right-hand sides at once.
@@ -495,7 +499,8 @@ def solve_batched(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
-                                                lmin=lmin, lmax=lmax)
+                                                lmin=lmin, lmax=lmax,
+                                                restart=restart)
 
     err = params.validate(for_method=m)
     if err is not None:

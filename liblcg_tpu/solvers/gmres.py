@@ -32,8 +32,12 @@ from . import harness as H
 
 def _vec_sum(v):
     """Sum over the vector (last) axis, keeping any leading axes; global
-    when distributed."""
-    s = jnp.sum(v, axis=-1)
+    when distributed and honoring the active mixed-precision reduction
+    dtype (``SolverParams.reduce_dtype``), like every harness reduction."""
+    acc = H._acc_dtype(v.dtype)
+    s = jnp.sum(v, axis=-1, dtype=acc)
+    if acc is not None:
+        s = s.astype(v.dtype)
     ax = H.dist_axis()
     return lax.psum(s, ax) if ax is not None else s
 
@@ -108,20 +112,22 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
         phibar0 = beta                                # |g[j+1]| = ||r_j||
 
         # Product budget: t entering the cycle (harness pre-incremented by
-        # one, so subtract it back out).
+        # one, so subtract it back out).  The hard iteration cap bounds
+        # the inner loop too when max_iterations is 0/unbounded.
         t_used = jnp.max(c["t"]) - 1
+        iter_limit = (params.max_iterations if params.max_iterations > 0
+                      else max_iter)
+        trace0 = c.get("trace")
+        jconv0 = jnp.full(bshape, -1, jnp.int32)
 
         def inner_cond(s):
-            V, R, cs, sn, g, phibar, j = s
+            V, R, cs, sn, g, phibar, j, trace, jconv = s
             live = metric(phibar * phibar, x_sq) > params.epsilon
             live = jnp.any(live)
-            room = jnp.asarray(True) if params.max_iterations <= 0 else (
-                t_used + j < params.max_iterations
-            )
-            return live & (j < m) & room
+            return live & (j < m) & (t_used + j < iter_limit)
 
         def inner_body(s):
-            V, R, cs, sn, g, phibar, j = s
+            V, R, cs, sn, g, phibar, j, trace, jconv = s
             vj = V[j]
             z = apply_M(vj) if apply_M is not None else vj
             w = A.mv(z)
@@ -169,11 +175,23 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
             gj = g[j]
             g = g.at[j + 1].set(-conj(sj) * gj).at[j].set(cj * gj)
             phibar = jnp.abs(g[j + 1])
-            return V, R, cs, sn, g, phibar, j + 1
+            res_j = metric(phibar * phibar, x_sq)
+            # Per-product residual trace (same cadence as the other
+            # engines; the outer harness records the cycle boundaries).
+            if trace is not None:
+                trace = H.record_trace(trace, c["t"] + j,
+                                       res_j.astype(trace.dtype))
+            # First product at which each system met the tolerance — the
+            # per-system iteration count (matches a single solve even
+            # when the batch keeps the cycle running for harder systems).
+            jconv = jnp.where((jconv < 0) & (res_j <= params.epsilon),
+                              j + 1, jconv)
+            return V, R, cs, sn, g, phibar, j + 1, trace, jconv
 
-        V, R, cs, sn, g, phibar, j_taken = lax.while_loop(
+        V, R, cs, sn, g, phibar, j_taken, trace, jconv = lax.while_loop(
             inner_cond, inner_body,
-            (V0, R0, cs0, sn0, g0, phibar0, jnp.asarray(0, jnp.int32)),
+            (V0, R0, cs0, sn0, g0, phibar0, jnp.asarray(0, jnp.int32),
+             trace0, jconv0),
         )
 
         # Back-substitution on the rotated (upper-triangular) system.
@@ -199,12 +217,21 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
             z = apply_M(z)
         x = x + z
         rk = b - A.mv(x)                       # true residual, cycle boundary
-        t = c["t"] + (j_taken - 1)             # harness added 1 already
-        return dict(
+        # Products charged per system: the product at which it converged,
+        # or the full cycle if it didn't (harness added 1 already).  The
+        # clamp guarantees forward progress when the hard cap leaves a
+        # cycle no product budget (j_taken == 0) — t then lands one past
+        # the cap, the harness convention for a cap exit.
+        spent = jnp.where(jconv >= 0, jconv, j_taken)
+        t = c["t"] + jnp.maximum(spent.reshape(c["t"].shape) - 1, 0)
+        out = dict(
             c, x=x, t=t,
             rk_mod=H.sq_norm(rk),
             m_mod=jnp.maximum(H.sq_norm(x), 1.0),
         )
+        if trace is not None:
+            out["trace"] = trace
+        return out
 
     return H.run_loop(
         carry,

@@ -6,6 +6,8 @@ against the manufactured solution, and exercises PCG with Jacobi and the
 box-constrained PG/SPG with bounds [1, 2] (sample1.cpp:98-113).
 """
 
+import _bootstrap  # noqa: F401  (checkout-run import path; no-op when installed)
+
 
 import numpy as np
 import jax

@@ -1,6 +1,8 @@
 """Class-based API (reference sample2/sample4): subclass, override
 AxProduct/MxProduct/Progress, call Minimize with progress reporting."""
 
+import _bootstrap  # noqa: F401  (checkout-run import path; no-op when installed)
+
 
 import numpy as np
 import jax.numpy as jnp

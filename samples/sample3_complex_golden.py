@@ -1,6 +1,8 @@
 """Complex solvers on the shipped case_1K system (reference sample4/sample6):
 BICG / BICG_SYM / CGS / TFQMR at epsilon=1e-6 abs_diff, max_diff oracle."""
 
+import _bootstrap  # noqa: F401  (checkout-run import path; no-op when installed)
+
 
 import numpy as np
 import jax.numpy as jnp

@@ -2,6 +2,8 @@
 factorize on host (native C++ when available), apply as level-scheduled
 device triangular solves inside the compiled loop."""
 
+import _bootstrap  # noqa: F401  (checkout-run import path; no-op when installed)
+
 
 import numpy as np
 import jax.numpy as jnp

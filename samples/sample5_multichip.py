@@ -4,6 +4,8 @@ Runs on whatever devices are visible; to simulate an 8-device slice on CPU:
     python samples/sample5_multichip.py --virtual
 """
 
+import _bootstrap  # noqa: F401  (checkout-run import path; no-op when installed)
+
 
 import sys
 

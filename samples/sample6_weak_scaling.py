@@ -13,6 +13,8 @@ overhead, not real interconnect bandwidth — the point here is that the same
 compiled program scales the mesh without code changes.
 """
 
+import _bootstrap  # noqa: F401  (checkout-run import path; no-op when installed)
+
 
 import sys
 import time

@@ -12,6 +12,8 @@ or launch workers manually on real hosts:
     python samples/sample7_multihost.py --worker <pid> <nprocs> <coord_ip:port>
 """
 
+import _bootstrap  # noqa: F401  (checkout-run import path; no-op when installed)
+
 import os
 import subprocess
 import sys

@@ -223,3 +223,46 @@ def test_pgmres_batched():
                            params=lcg.SolverParams(epsilon=1e-16))
     assert np.all(np.asarray(rb.status_code) == int(lcg.Status.CONVERGENCE))
     np.testing.assert_allclose(np.asarray(rb.x), X, atol=1e-6)
+
+
+def test_gmres_trace_records_every_product():
+    rng = np.random.default_rng(3)
+    n = 120
+    A = np.eye(n) * 4 + rng.uniform(-1, 1, (n, n)) / np.sqrt(n)
+    b = A @ rng.uniform(1, 2, n)
+    res = lcg.solve(A, b, method="gmres", restart=8, trace_len=16,
+                    params=lcg.SolverParams(epsilon=1e-16))
+    tr = np.asarray(res.trace)[: int(res.iterations)]
+    # Dense per-product history (not just cycle boundaries), decreasing.
+    assert np.count_nonzero(tr) >= len(tr) - 1
+    assert tr[0] > tr[-1]
+
+
+def test_gmres_batched_per_system_counts_match_single():
+    """A trivially-easy system in a batch must report its own product
+    count, not be charged the whole cycle the harder system needs."""
+    rng = np.random.default_rng(3)
+    n = 100
+    A = np.diag(np.linspace(1, 60, n)) + rng.uniform(-1, 1, (n, n)) / n
+    w, V = np.linalg.eig(A)
+    B = np.stack([np.real(V[:, 0]), rng.normal(size=n)])
+    params = lcg.SolverParams(epsilon=1e-16)
+    rb = lcg.solve_batched(A, B, method="gmres", restart=80, params=params)
+    singles = [int(lcg.solve(A, B[i], method="gmres", restart=80,
+                             params=params).iterations) for i in range(2)]
+    assert list(np.asarray(rb.iterations)) == singles
+
+
+def test_gmres_hard_cap_bounds_inner_loop():
+    """With max_iterations=0 the hard iteration cap bounds the products
+    (a cycle may no longer overshoot it)."""
+    rng = np.random.default_rng(5)
+    n = 64
+    A = np.eye(n) + rng.uniform(-1, 1, (n, n)) / 50
+    b = rng.normal(size=n)
+    params = lcg.SolverParams(epsilon=1e-30, max_iterations=0,
+                              hard_iteration_cap=7)
+    res = lcg.solve(A, b, method="gmres", restart=32, params=params)
+    # Harness convention: a hard-cap exit lands at most one past the cap
+    # (same as every per-product engine).
+    assert int(res.iterations) <= 8
