@@ -109,6 +109,9 @@ def _slope(solve_one, b, K, reps=3):
 
 
 def bench_laplacian(dtype, grid=GRID, K=4):
+    # One compilation per workload (the K-chain; K is a dynamic trip
+    # count): remote compiles are the budget bottleneck, and iteration
+    # counts are asserted by the test suite, not re-proven here.
     import liblcg_tpu as lcg
     from liblcg_tpu.solvers import real as _real
 
@@ -116,10 +119,6 @@ def bench_laplacian(dtype, grid=GRID, K=4):
     n = grid ** 3
     b = jnp.ones((n,), dtype)
     params = lcg.SolverParams(epsilon=1e-30, max_iterations=LAP_ITERS)
-
-    res = lcg.solve(A, b, params=params)
-    np.asarray(res.x[:4])
-    assert int(res.iterations) == LAP_ITERS
 
     def one(b):
         return _real.cg(A, b, params=params)["x"]
@@ -205,7 +204,29 @@ def bench_case10k_pallas():
         dev, wall = _slope(one, b, K=256)
     except Exception:
         return None
-    return {"wall_ms": wall * 1e3, "device_ms": dev * 1e3, "iterations": 121}
+    out = {"wall_ms": wall * 1e3, "device_ms": dev * 1e3, "iterations": 121}
+
+    # Multi-RHS VMEM kernel: 32 systems frozen per-system, one kernel.
+    from liblcg_tpu.ops.pallas_cg import pallas_cg_dia_batched
+
+    nrhs = 32
+    B = jnp.stack([b * (1.0 + 0.01 * i) for i in range(nrhs)])
+    X0 = jnp.zeros_like(B)
+
+    def one_b(B):
+        X, t, r = pallas_cg_dia_batched(
+            A.offsets, A.diag_vals, B, X0, n=sys_.n, nrhs=nrhs,
+            eps=0.0, max_iter=121,
+        )
+        return X[:, 0]
+
+    try:
+        with jax.enable_x64(False):
+            dev_b, _ = _slope(one_b, B, K=32)
+        out["batched32_device_us_per_solve"] = dev_b * 1e6 / nrhs
+    except Exception:
+        pass
+    return out
 
 
 def bench_complex_banded():
@@ -244,39 +265,109 @@ def bench_complex_banded():
             "ok": bool(res.converged and err < 1e-6)}
 
 
+#: Workload registry: name -> zero-arg callable (run with x64 enabled).
+#: K=16 for lap32: the f32 per-solve time (~3 ms) must dominate run-to-run
+#: dispatch jitter (~±3 ms) for a clean slope.
+WORKLOADS = {
+    "lap64": lambda: bench_laplacian(jnp.float64),
+    "case10k": bench_case10k,
+    "pallas": bench_case10k_pallas,
+    "lap256": lambda: bench_laplacian(jnp.float32, grid=256),
+    "complex": bench_complex_banded,
+    "lap32": lambda: bench_laplacian(jnp.float32, K=16),
+}
+
+
+def run_workload(name: str) -> None:
+    """Subprocess entry: run one workload, print its result as JSON."""
+    jax.config.update("jax_enable_x64", True)
+    print(json.dumps(WORKLOADS[name]()))
+
+
+def _run_all_isolated(budget_s: float) -> dict:
+    """Run every workload in its own bounded subprocess, priority order.
+
+    Remote TPU compiles through the tunnel intermittently take 4-8
+    minutes instead of ~30 s, and a hung compile cannot be interrupted
+    in-process — a subprocess with a hard timeout can.  A stuck workload
+    is killed and the rest still report; the final JSON line always
+    lands within the budget."""
+    import subprocess
+    import sys
+
+    t_start = time.monotonic()
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    env = {**os.environ,
+           "PYTHONPATH": pkg_parent + os.pathsep +
+           os.environ.get("PYTHONPATH", "")}
+    results = {}
+    for name in WORKLOADS:
+        left = budget_s - (time.monotonic() - t_start)
+        if left < 45:
+            _note(f"skip {name} (budget exhausted)")
+            continue
+        _note(name)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "liblcg_tpu.bench",
+                 "--workload", name],
+                capture_output=True, text=True,
+                timeout=min(left - 15, 360), env=env,
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                results[name] = json.loads(
+                    proc.stdout.strip().splitlines()[-1]
+                )
+            else:
+                _note(f"{name} failed: {proc.stderr[-200:]!r}")
+        except subprocess.TimeoutExpired:
+            _note(f"{name} timed out (tunnel compile stall); killed")
+        except Exception as e:
+            _note(f"{name} failed: {e!r:.200}")
+
+    # The headline workload must land if at all possible: when it was
+    # stalled out earlier and budget remains, try it once more (compile
+    # stalls are transient tunnel states).
+    left = budget_s - (time.monotonic() - t_start)
+    if "lap64" not in results and left > 60:
+        _note("retry lap64")
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "liblcg_tpu.bench",
+                 "--workload", "lap64"],
+                capture_output=True, text=True,
+                timeout=left - 15, env=env,
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                results["lap64"] = json.loads(
+                    proc.stdout.strip().splitlines()[-1]
+                )
+        except Exception:
+            _note("lap64 retry failed")
+    return results
+
+
 def main():
     # x64 is a benchmark-process choice, not an import side effect: the
     # f64 workloads need it, and flipping global config on import would
     # corrupt any process that merely imports this module.
+    import sys as _sys
+
+    if "--workload" in _sys.argv:
+        run_workload(_sys.argv[_sys.argv.index("--workload") + 1])
+        return
+
     jax.config.update("jax_enable_x64", True)
-    # Remote compile times through the tunnel vary 1.5-8x run to run; a
-    # soft deadline guarantees the JSON line is always printed with at
-    # least the headline workloads.  Workloads run most-important-first.
-    budget_s = float(os.environ.get("LIBLCG_BENCH_BUDGET_S", "420"))
-    t_start = time.monotonic()
-
-    def timed(name, fn):
-        left = budget_s - (time.monotonic() - t_start)
-        if left < 30:
-            _note(f"skip {name} (budget exhausted)")
-            return None
-        _note(name)
-        try:
-            return fn()
-        except Exception as e:  # never lose the JSON line to one workload
-            _note(f"{name} failed: {e!r:.200}")
-            return None
-
-    lap64 = timed("laplacian 128^3 f64", lambda: bench_laplacian(jnp.float64))
-    c10k = timed("case_10K", bench_case10k)
-    c10k_pallas = timed("pallas case_10K", bench_case10k_pallas)
-    lap256 = timed("laplacian 256^3 f32",
-                   lambda: bench_laplacian(jnp.float32, grid=256))
-    cplx = timed("complex 100K realified", bench_complex_banded)
-    # K=16: the f32 per-solve time (~3 ms) must dominate run-to-run
-    # dispatch jitter (~±3 ms) for a clean slope.
-    lap32 = timed("laplacian 128^3 f32",
-                  lambda: bench_laplacian(jnp.float32, K=16))
+    budget_s = float(os.environ.get("LIBLCG_BENCH_BUDGET_S", "500"))
+    r = _run_all_isolated(budget_s)
+    lap64 = r.get("lap64")
+    c10k = r.get("case10k")
+    c10k_pallas = r.get("pallas")
+    lap256 = r.get("lap256")
+    cplx = r.get("complex")
+    lap32 = r.get("lap32")
     _note("done")
 
     baseline = _baseline()
@@ -330,6 +421,13 @@ def main():
             out["case10k_pallas_vs_baseline"] = round(
                 c10k_base / max(c10k_pallas["device_ms"], 1e-9), 1
             )
+        bus = c10k_pallas.get("batched32_device_us_per_solve")
+        if bus is not None:
+            out["case10k_pallas_batched32_us_per_solve"] = round(bus, 1)
+            if c10k_base:
+                out["case10k_pallas_batched_vs_baseline"] = round(
+                    c10k_base * 1e3 / max(bus, 1e-9), 0
+                )
     print(json.dumps(out))
 
 

@@ -335,3 +335,145 @@ def solve_pcg_vmem(A, M, b, x0=None, *, params=None, interpret: bool = False):
         eps=params.epsilon, max_iter=params.effective_max_iterations(),
         abs_diff=bool(params.abs_diff), interpret=interpret,
     )
+
+
+def _cg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
+                       abs_diff,
+                       vals_ref, b_ref, x0_ref,
+                       x_out, t_out, res_out,
+                       d_ref, d_ext_ref):
+    """Multi-RHS CG: a (nrhs, n) stack solved in lockstep, entirely
+    VMEM-resident, with per-system freezing (the batched-harness
+    semantics of solve_batched, but with zero HBM traffic per iteration).
+    The reference solves strictly one b at a time (lcg.h:61)."""
+    x = x0_ref[...]                                    # (R, n)
+
+    def dia_mv(v_ext):
+        acc = None
+        for i, o in enumerate(offsets):
+            term = vals_ref[i : i + 1, :] * v_ext[:, pad_l + o : pad_l + o + n]
+            acc = term if acc is None else acc + term
+        return acc
+
+    def rowsum(v):
+        return jnp.sum(v, axis=1, keepdims=True)       # (R, 1)
+
+    d_ext_ref[...] = jnp.zeros_like(d_ext_ref)
+    d_ext_ref[:, pad_l : pad_l + n] = x
+    g0 = dia_mv(d_ext_ref[...]) - b_ref[...]
+    d_ref[...] = -g0
+    d_ext_ref[:, pad_l : pad_l + n] = -g0
+    gmod0 = rowsum(g0 * g0)
+    xmod0 = jnp.maximum(rowsum(x * x), 1.0)
+
+    def metric(gmod, xmod):
+        if abs_diff:
+            return jnp.sqrt(gmod) / n
+        return gmod / xmod
+
+    def alive_of(gmod, xmod, t):
+        return (metric(gmod, xmod) > eps) & (t < max_iter)
+
+    def cond(c):
+        x, g, gmod, xmod, t = c
+        return jnp.any(alive_of(gmod, xmod, t))
+
+    def body(c):
+        x, g, gmod, xmod, t = c
+        alive = alive_of(gmod, xmod, t)                # (R, 1)
+        ad = dia_mv(d_ext_ref[...])
+        d = d_ref[...]
+        dTAd = rowsum(d * ad)
+        ak = gmod / jnp.where(dTAd == 0, 1.0, dTAd)
+        x = jnp.where(alive, x + ak * d, x)
+        g1 = jnp.where(alive, g + ak * ad, g)
+        g1mod = rowsum(g1 * g1)
+        betak = g1mod / jnp.where(gmod == 0, 1.0, gmod)
+        dnew = jnp.where(alive, betak * d - g1, d)
+        d_ref[...] = dnew
+        d_ext_ref[:, pad_l : pad_l + n] = dnew
+        gmod = jnp.where(alive, g1mod, gmod)
+        xmod = jnp.where(alive, jnp.maximum(rowsum(x * x), 1.0), xmod)
+        return x, g1, gmod, xmod, t + alive.astype(jnp.int32)
+
+    x, g, gmod, xmod, t = lax.while_loop(
+        cond, body,
+        (x, g0, gmod0, xmod0, jnp.zeros((nrhs, 1), jnp.int32)),
+    )
+    x_out[...] = x
+    t_out[...] = t
+    res_out[...] = metric(gmod, xmod)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "nrhs", "eps", "max_iter", "abs_diff",
+                     "interpret"),
+)
+def pallas_cg_dia_batched(
+    offsets: Tuple[int, ...],
+    dia_vals: jnp.ndarray,           # (n_diags, n)
+    B: jnp.ndarray,                  # (nrhs, n)
+    X0: jnp.ndarray,                 # (nrhs, n)
+    *,
+    n: int,
+    nrhs: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Whole-solve multi-RHS CG kernel.  Returns (X, t, res) with
+    per-system (nrhs,) iteration counts and residual metrics."""
+    pad_l = max(0, -min(offsets, default=0))
+    pad_r = max(0, max(offsets, default=0))
+    dt = jnp.float32
+    vals = dia_vals.astype(dt)
+    B2 = B.astype(dt)
+    X02 = X0.astype(dt)
+
+    kernel = functools.partial(
+        _cg_kernel_batched, offsets, pad_l, pad_r, n, nrhs, float(eps),
+        max_iter, abs_diff
+    )
+    # The while-loop carry duplicates the (nrhs, n) stack on the VMEM
+    # stack, which exceeds the 16 MB default scoped limit; the budget
+    # check above keeps the true footprint well under the raised cap.
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    x, t, res = pl.pallas_call(
+        kernel,
+        **kw,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrhs, n), dt),
+            jax.ShapeDtypeStruct((nrhs, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nrhs, 1), dt),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nrhs, n), dt),                      # d
+            pltpu.VMEM((nrhs, pad_l + n + pad_r), dt),      # padded image
+        ],
+        interpret=interpret,
+    )(vals, B2, X02)
+    return x, t.reshape(nrhs), res.reshape(nrhs)
+
+
+def fits_in_vmem_batched(n: int, n_diags: int, nrhs: int,
+                         dtype=jnp.float32) -> bool:
+    item = jnp.dtype(dtype).itemsize
+    vecs = 5 * nrhs * n * item             # X, g, d, image, B
+    mat = n_diags * n * item
+    return (vecs + mat) < _VMEM_BUDGET_BYTES

@@ -425,6 +425,58 @@ BATCHED_METHODS = frozenset(
 )
 
 
+def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required):
+    """Multi-RHS analogue of :func:`_try_pallas_cg`: route an eligible f32
+    CG stack to the batched VMEM kernel."""
+    from .operators import BandedOperator
+
+    def fail(msg):
+        if required:
+            raise ValueError(f"pallas='always' but {msg}")
+        return None
+
+    if monitor is not None:
+        return fail("the kernel does not support monitor")
+    if params.reduce_dtype is not None:
+        return fail("the kernel accumulates in f32 only "
+                    "(reduce_dtype is not supported)")
+    if not isinstance(A, BandedOperator):
+        return fail("the operator is not a BandedOperator (DIA)")
+    if jnp.dtype(B.dtype) != jnp.float32 or jnp.dtype(A.dtype) != jnp.float32:
+        return fail("the kernel is float32-only (Mosaic has no f64)")
+    from .ops.pallas_cg import fits_in_vmem_batched, pallas_cg_dia_batched
+
+    n = A.shape[0]
+    nrhs = B.shape[0]
+    if not fits_in_vmem_batched(n, A.n_diagonals, nrhs):
+        return fail(f"state for n={n} x {nrhs} RHS exceeds the VMEM budget")
+    interpret = jax.default_backend() == "cpu"
+    if interpret and not required:
+        return None
+
+    # f32-only kernel: trace in an x64-free scope (x64 promotion inside
+    # the kernel trips Mosaic scalar conversion).
+    with jax.enable_x64(False):
+        X, t, res = pallas_cg_dia_batched(
+            A.offsets, A.diag_vals, jnp.asarray(B, jnp.float32),
+            jnp.asarray(X0, jnp.float32), n=n, nrhs=nrhs,
+            eps=params.epsilon, max_iter=params.effective_max_iterations(),
+            abs_diff=bool(params.abs_diff), interpret=interpret,
+        )
+    nan = jnp.isnan(res)
+    conv = res <= params.epsilon
+    status = jnp.where(
+        nan, int(Status.NAN_VALUE),
+        jnp.where(
+            conv & (t == 0), int(Status.ALREADY_OPTIMIZED),
+            jnp.where(conv, int(Status.CONVERGENCE),
+                      int(Status.REACHED_MAX_ITERATIONS)),
+        ),
+    ).astype(jnp.int32)
+    return SolveResult(x=X, status_code=status, iterations=t, residual=res,
+                       trace=None)
+
+
 class _VmappedOperator:
     """Trace-time adapter mapping a 1-D operator over stacked (nrhs, n)
     vectors with ``jax.vmap`` — built inside the jitted function, so it
@@ -464,6 +516,7 @@ def solve_batched(
     lmax=None,
     restart: int = 32,
     check: bool = False,
+    pallas: str = "auto",
 ) -> SolveResult:
     """Solve ``A x_i = b_i`` for a stack of right-hand sides at once.
 
@@ -512,6 +565,20 @@ def solve_batched(
     if is_complex and not jnp.issubdtype(B.dtype, jnp.complexfloating):
         B = B.astype(A.dtype)
     X0_arr = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, dtype=B.dtype)
+
+    if pallas not in ("auto", "never", "always"):
+        raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
+    if pallas != "never" and m == "cg":
+        result = _try_pallas_cg_batched(A, B, X0_arr, params, monitor,
+                                        required=pallas == "always")
+        if result is not None:
+            if check:
+                from .utils.errors import check_status
+
+                for s in np.asarray(result.status_code):
+                    check_status(s, raise_error=True, quiet=True)
+            return result
+
     takes_key = is_complex and m in ("cgs", "bicgstab", "tfqmr")
     M_static = needs_M and not isinstance(M, LinearOperator)
 

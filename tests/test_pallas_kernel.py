@@ -153,3 +153,28 @@ def test_pcg_kernel_requires_diagonal_preconditioner():
     A, b, _ = _banded_f32()
     with pytest.raises(ValueError, match="diagonal"):
         lcg.solve(A, b, method="pcg", M=lambda v: v, pallas="always")
+
+
+def test_batched_kernel_matches_batched_engine():
+    """Multi-RHS VMEM kernel: per-system counts/answers match the XLA
+    batched path, including early-converging systems frozen in-kernel."""
+    A, b, x_true = _banded_f32(seed=7)
+    n = len(b)
+    B = np.stack([b, 2.0 * b, 0.25 * b, b * 0.0])
+    params = lcg.SolverParams(epsilon=1e-12)
+    rk = lcg.solve_batched(A, B, params=params, pallas="always")
+    rx = lcg.solve_batched(A, B, params=params, pallas="never")
+    kx, xx = np.asarray(rk.x), np.asarray(rx.x)
+    np.testing.assert_allclose(kx[:3], xx[:3], atol=1e-3)
+    # Zero rhs -> already optimized at t=0.
+    assert int(np.asarray(rk.iterations)[3]) == 0
+    assert int(np.asarray(rk.status_code)[3]) == int(lcg.Status.ALREADY_OPTIMIZED)
+    kt, xt = np.asarray(rk.iterations), np.asarray(rx.iterations)
+    assert np.all(np.abs(kt - xt) <= 2)
+
+
+def test_batched_kernel_always_rejects_oversize():
+    A, b, _ = _banded_f32()
+    with pytest.raises(ValueError, match="float32-only"):
+        lcg.solve_batched(A, np.stack([b, b]).astype(np.float64),
+                          pallas="always")
