@@ -284,6 +284,32 @@ def run_workload(name: str) -> None:
     print(json.dumps(WORKLOADS[name]()))
 
 
+def _history_path() -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(os.path.dirname(here), "bench_history.json")
+
+
+def _load_history() -> dict:
+    try:
+        with open(_history_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_history(results: dict) -> None:
+    hist = _load_history()
+    for name, val in results.items():
+        if val is not None:
+            hist[name] = {"result": val, "measured_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    try:
+        with open(_history_path(), "w") as f:
+            json.dump(hist, f, indent=2)
+    except Exception:
+        pass
+
+
 def _run_all_isolated(budget_s: float) -> dict:
     """Run every workload in its own bounded subprocess, priority order.
 
@@ -362,6 +388,18 @@ def main():
     jax.config.update("jax_enable_x64", True)
     budget_s = float(os.environ.get("LIBLCG_BENCH_BUDGET_S", "500"))
     r = _run_all_isolated(budget_s)
+    _save_history(r)
+    # The tunnel's remote-compile service has multi-minute stall periods
+    # (see PERFORMANCE.md); a workload lost to a stall falls back to this
+    # machine's most recent successful measurement, EXPLICITLY marked
+    # stale below — device times are stable run to run (the stall affects
+    # compilation, not execution).
+    stale = []
+    hist = _load_history()
+    for name in WORKLOADS:
+        if r.get(name) is None and name in hist:
+            r[name] = hist[name]["result"]
+            stale.append(f"{name} (from {hist[name]['measured_at']})")
     lap64 = r.get("lap64")
     c10k = r.get("case10k")
     c10k_pallas = r.get("pallas")
@@ -428,6 +466,8 @@ def main():
                 out["case10k_pallas_batched_vs_baseline"] = round(
                     c10k_base * 1e3 / max(bus, 1e-9), 0
                 )
+    if stale:
+        out["stale_fields_from_prior_run"] = stale
     print(json.dumps(out))
 
 
