@@ -72,19 +72,22 @@ def _stencil_block(d_mid, d_lo, d_hi):
     )
 
 
-def _k1_kernel(nblocks, beta_ref, dold_ref, g_ref,
-               dold_lo_ref, g_lo_ref, dold_hi_ref, g_hi_ref,
+def _k1_kernel(beta_ref, dold_ref, g_ref, dhalo_ref, ghalo_ref,
                dnew_ref, ad_ref, dtad_ref):
+    """Direction update + stencil + partial d^T A d, one streaming pass.
+
+    Halo planes arrive as a per-block (1, 2, ny, nx) view of a
+    precomputed (nblocks, 2, ny, nx) array — every ref has a plain
+    affine index map, which keeps Mosaic's input pipelining intact
+    (clamped/computed index maps serialize the DMA stream).  Domain-edge
+    planes are pre-zeroed outside, realizing the Dirichlet boundary with
+    no in-kernel masking."""
     i = pl.program_id(0)
     beta = beta_ref[0]
     d_mid = beta * dold_ref[...] - g_ref[...]
-    d_lo = beta * dold_lo_ref[...] - g_lo_ref[...]
-    d_hi = beta * dold_hi_ref[...] - g_hi_ref[...]
-    # Domain-boundary blocks see Dirichlet zeros instead of the clamped
-    # neighbor plane.
-    d_lo = jnp.where(i > 0, d_lo, 0.0)
-    d_hi = jnp.where(i < nblocks - 1, d_hi, 0.0)
-    ad = _stencil_block(d_mid, d_lo, d_hi)
+    d_lo = beta * dhalo_ref[0, 0] - ghalo_ref[0, 0]
+    d_hi = beta * dhalo_ref[0, 1] - ghalo_ref[0, 1]
+    ad = _stencil_block(d_mid, d_lo[None], d_hi[None])
     dnew_ref[...] = d_mid
     ad_ref[...] = ad
 
@@ -125,14 +128,7 @@ def build_kernels(nz: int, ny: int, nx: int, interpret: bool = False):
         return jnp.asarray(v, jnp.int32)
 
     block = pl.BlockSpec((bz, ny, nx), lambda i: (_i32(i), 0, 0))
-    plane_lo = pl.BlockSpec(
-        (1, ny, nx),
-        lambda i: (jnp.maximum(_i32(i) * bz - 1, 0), 0, 0),
-    )
-    plane_hi = pl.BlockSpec(
-        (1, ny, nx),
-        lambda i: (jnp.minimum((_i32(i) + 1) * bz, nz - 1), 0, 0),
-    )
+    halo = pl.BlockSpec((1, 2, ny, nx), lambda i: (_i32(i), 0, 0, 0))
     scalar_smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     kw = {}
@@ -142,10 +138,9 @@ def build_kernels(nz: int, ny: int, nx: int, interpret: bool = False):
         )
 
     k1 = pl.pallas_call(
-        functools.partial(_k1_kernel, nblocks),
+        _k1_kernel,
         grid=(nblocks,),
-        in_specs=[scalar_smem, block, block, plane_lo, plane_lo,
-                  plane_hi, plane_hi],
+        in_specs=[scalar_smem, block, block, halo, halo],
         out_specs=(block, block, scalar_smem),
         out_shape=(
             jax.ShapeDtypeStruct(shape3, dt),
@@ -198,10 +193,22 @@ def pallas_cg_stencil(
     b3 = b.astype(dt).reshape(shape3)
     x3 = x0.astype(dt).reshape(shape3)
     k1, k2 = build_kernels(nz, ny, nx, interpret)
+    bz = _pick_bz(nz)
+    nblocks = nz // bz
+
+    def halos(a3):
+        """(nblocks, 2, ny, nx): [plane below block, plane above block],
+        zero at the domain edges (Dirichlet) — O(nblocks * plane) XLA
+        slicing per iteration, negligible against the block streams."""
+        ab = a3.reshape(nblocks, bz, ny, nx)
+        zero = jnp.zeros((1, ny, nx), dt)
+        lo = jnp.concatenate([zero, ab[:-1, -1]], axis=0)
+        hi = jnp.concatenate([ab[1:, 0], zero], axis=0)
+        return jnp.stack([lo, hi], axis=1)
 
     def apply_k1(beta, d, g):
         dnew, ad, dtad = k1(
-            jnp.full((1,), beta, dt), d, g, d, g, d, g
+            jnp.full((1,), beta, dt), d, g, halos(d), halos(g)
         )
         return dnew, ad, dtad[0]
 
