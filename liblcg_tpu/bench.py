@@ -304,75 +304,99 @@ def _save_history(results: dict) -> None:
             hist[name] = {"result": val, "measured_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     try:
-        with open(_history_path(), "w") as f:
+        tmp = _history_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(hist, f, indent=2)
+        os.replace(tmp, _history_path())   # atomic: a kill cannot corrupt
     except Exception:
         pass
 
 
-def _run_all_isolated(budget_s: float) -> dict:
+def _subprocess_env() -> dict:
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return {**os.environ,
+            "PYTHONPATH": pkg_parent + os.pathsep +
+            os.environ.get("PYTHONPATH", "")}
+
+
+def _run_one(name: str, timeout_s: float, env: dict):
+    """(result, stalled): run one workload subprocess.  ``stalled`` is
+    True only for a timeout kill (tunnel compile stall) — genuine
+    failures must NOT be eligible for the stale-history fallback."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "liblcg_tpu.bench", "--workload", name],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            return json.loads(proc.stdout.strip().splitlines()[-1]), False
+        _note(f"{name} failed: {proc.stderr[-200:]!r}")
+        return None, False
+    except subprocess.TimeoutExpired:
+        _note(f"{name} timed out (tunnel compile stall); killed")
+        return None, True
+    except Exception as e:
+        _note(f"{name} failed: {e!r:.200}")
+        return None, False
+
+
+def _run_all_isolated(budget_s: float):
     """Run every workload in its own bounded subprocess, priority order.
 
     Remote TPU compiles through the tunnel intermittently take 4-8
     minutes instead of ~30 s, and a hung compile cannot be interrupted
     in-process — a subprocess with a hard timeout can.  A stuck workload
     is killed and the rest still report; the final JSON line always
-    lands within the budget."""
-    import subprocess
-    import sys
-
+    lands within the budget.  Returns (results, stalled_names)."""
     t_start = time.monotonic()
-    pkg_parent = os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))
-    )
-    env = {**os.environ,
-           "PYTHONPATH": pkg_parent + os.pathsep +
-           os.environ.get("PYTHONPATH", "")}
+    env = _subprocess_env()
     results = {}
+    stalled = set()
     for name in WORKLOADS:
         left = budget_s - (time.monotonic() - t_start)
         if left < 45:
             _note(f"skip {name} (budget exhausted)")
+            stalled.add(name)   # budget loss == environmental, not a bug
             continue
         _note(name)
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-m", "liblcg_tpu.bench",
-                 "--workload", name],
-                capture_output=True, text=True,
-                timeout=min(left - 15, 360), env=env,
-            )
-            if proc.returncode == 0 and proc.stdout.strip():
-                results[name] = json.loads(
-                    proc.stdout.strip().splitlines()[-1]
-                )
-            else:
-                _note(f"{name} failed: {proc.stderr[-200:]!r}")
-        except subprocess.TimeoutExpired:
-            _note(f"{name} timed out (tunnel compile stall); killed")
-        except Exception as e:
-            _note(f"{name} failed: {e!r:.200}")
+        res, was_stall = _run_one(name, min(left - 15, 360), env)
+        if res is not None:
+            results[name] = res
+        elif was_stall:
+            stalled.add(name)
 
     # The headline workload must land if at all possible: when it was
     # stalled out earlier and budget remains, try it once more (compile
     # stalls are transient tunnel states).
     left = budget_s - (time.monotonic() - t_start)
-    if "lap64" not in results and left > 60:
+    if results.get("lap64") is None and left > 60:
         _note("retry lap64")
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-m", "liblcg_tpu.bench",
-                 "--workload", "lap64"],
-                capture_output=True, text=True,
-                timeout=left - 15, env=env,
-            )
-            if proc.returncode == 0 and proc.stdout.strip():
-                results["lap64"] = json.loads(
-                    proc.stdout.strip().splitlines()[-1]
-                )
-        except Exception:
-            _note("lap64 retry failed")
-    return results
+        res, _ = _run_one("lap64", left - 15, env)
+        if res is not None:
+            results["lap64"] = res
+            stalled.discard("lap64")
+    return results, stalled
+
+
+def _device_string(env: dict) -> str:
+    """Device description via a bounded subprocess — backend init in the
+    parent would hang unrecoverably during a tunnel stall."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True, timeout=90, env=env,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            return proc.stdout.strip().splitlines()[-1]
+    except Exception:
+        pass
+    return "unknown (backend init stalled)"
 
 
 def main():
@@ -387,25 +411,34 @@ def main():
 
     jax.config.update("jax_enable_x64", True)
     budget_s = float(os.environ.get("LIBLCG_BENCH_BUDGET_S", "500"))
-    r = _run_all_isolated(budget_s)
+    r, stalled = _run_all_isolated(budget_s)
     _save_history(r)
     # The tunnel's remote-compile service has multi-minute stall periods
-    # (see PERFORMANCE.md); a workload lost to a stall falls back to this
-    # machine's most recent successful measurement, EXPLICITLY marked
-    # stale below — device times are stable run to run (the stall affects
-    # compilation, not execution).
+    # (see PERFORMANCE.md); a workload lost to a STALL (only — genuine
+    # failures are reported as missing) falls back to this machine's most
+    # recent successful measurement, EXPLICITLY marked stale below —
+    # device times are stable run to run (the stall affects compilation,
+    # not execution).
     stale = []
     hist = _load_history()
-    for name in WORKLOADS:
-        if r.get(name) is None and name in hist:
-            r[name] = hist[name]["result"]
-            stale.append(f"{name} (from {hist[name]['measured_at']})")
-    lap64 = r.get("lap64")
-    c10k = r.get("case10k")
-    c10k_pallas = r.get("pallas")
-    lap256 = r.get("lap256")
-    cplx = r.get("complex")
-    lap32 = r.get("lap32")
+    for name in stalled:
+        entry = hist.get(name)
+        if (r.get(name) is None and isinstance(entry, dict)
+                and isinstance(entry.get("result"), dict)):
+            r[name] = entry["result"]
+            stale.append(f"{name} (from {entry.get('measured_at', '?')})")
+    def _valid(d, *keys):
+        """Schema guard: a malformed/old-schema (history) entry must drop
+        out, not crash the report assembly."""
+        return d if isinstance(d, dict) and all(k in d for k in keys) else None
+
+    lap64 = _valid(r.get("lap64"), "device_ms", "wall_ms", "nnz_per_s")
+    c10k = _valid(r.get("case10k"), "wall_ms", "device_ms", "iterations",
+                  "converged", "batched32_wall_ms_per_solve")
+    c10k_pallas = _valid(r.get("pallas"), "wall_ms", "device_ms")
+    lap256 = _valid(r.get("lap256"), "device_ms", "nnz_per_s")
+    cplx = _valid(r.get("complex"), "wall_ms", "iterations", "ok")
+    lap32 = _valid(r.get("lap32"), "device_ms", "nnz_per_s")
     _note("done")
 
     baseline = _baseline()
@@ -418,7 +451,7 @@ def main():
         "unit": "ms",
         "vs_baseline": round(lap_base / lap64["device_ms"], 2)
         if (lap64 and lap_base) else 1.0,
-        "device": str(jax.devices()[0]),
+        "device": _device_string(_subprocess_env()),
     }
     if lap64 is not None:
         out["lap_f64_wall_ms"] = round(lap64["wall_ms"], 1)

@@ -10,8 +10,10 @@ restructures one CG iteration into exactly two streaming passes:
       fly (the d-update classically forces its own third pass because
       beta is only known after the g-update); the 7-point product A d and
       the partial dot d^T A d come out of the same pass.  Halo planes of
-      the *new* d are derived in-kernel from single-plane views of d_old
-      and g fetched with thin block refs — O(plane) extra traffic.
+      the *new* d are derived in-kernel from a (nblocks, 2, ny, nx)
+      neighbor-plane array of d_old and g precomputed by plain XLA
+      slicing each iteration (affine block index maps, domain edges
+      pre-zeroed) — O(plane) extra traffic.
   K2 (updates + dots):  x += alpha d, g += alpha A d, with the partial
       dots g'^T g' and x'^T x' accumulated in the same pass.
 

@@ -568,6 +568,11 @@ def solve_batched(
 
     if pallas not in ("auto", "never", "always"):
         raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
+    if pallas == "always" and m != "cg":
+        raise ValueError(
+            f"pallas='always' but the batched VMEM kernel supports "
+            f"method='cg' only (got {m!r})"
+        )
     if pallas != "never" and m == "cg":
         result = _try_pallas_cg_batched(A, B, X0_arr, params, monitor,
                                         required=pallas == "always")

@@ -178,3 +178,11 @@ def test_batched_kernel_always_rejects_oversize():
     with pytest.raises(ValueError, match="float32-only"):
         lcg.solve_batched(A, np.stack([b, b]).astype(np.float64),
                           pallas="always")
+
+
+def test_batched_pallas_always_rejects_non_cg():
+    A, b, _ = _banded_f32()
+    M = lcg.JacobiPreconditioner(A)
+    with pytest.raises(ValueError, match="cg"):
+        lcg.solve_batched(A, np.stack([b, b]), method="pcg", M=M,
+                          pallas="always")
