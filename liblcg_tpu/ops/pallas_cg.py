@@ -477,3 +477,120 @@ def fits_in_vmem_batched(n: int, n_diags: int, nrhs: int,
     vecs = 5 * nrhs * n * item             # X, g, d, image, B
     mat = n_diags * n * item
     return (vecs + mat) < _VMEM_BUDGET_BYTES
+
+
+def _cgs_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,
+                vals_ref, b_ref, x0_ref,
+                x_out, t_out, res_out,
+                r0T_ref, ext_ref):
+    """CGS (Fokkema alg. 2, lcgs lcg.cpp:437-612) with the whole state
+    VMEM-resident — together with the CG kernel this mirrors exactly the
+    method set the reference's CUDA backend accelerates (its dispatcher
+    handles CG and CGS only, lcg_cuda.cu:44-55).  Two DIA products per
+    iteration through one zero-padded image scratch; fixed shadow
+    residual r0T = r0 (lcg.cpp:483) parked in VMEM."""
+    x = x0_ref[...]
+    ext_ref[...] = jnp.zeros_like(ext_ref)
+
+    def dia_mv_of(v):
+        ext_ref[:, pad_l : pad_l + n] = v
+        ext = ext_ref[...]
+        acc = None
+        for i, o in enumerate(offsets):
+            term = vals_ref[i : i + 1, :] * ext[:, pad_l + o : pad_l + o + n]
+            acc = term if acc is None else acc + term
+        return acc
+
+    r0 = b_ref[...] - dia_mv_of(x)
+    r0T_ref[...] = r0
+    rkr0T0 = jnp.sum(r0 * r0)
+    rmod0 = rkr0T0
+    xmod0 = jnp.maximum(jnp.sum(x * x), 1.0)
+
+    def metric(rmod, xmod):
+        if abs_diff:
+            return jnp.sqrt(rmod) / n
+        return rmod / xmod
+
+    def cond(c):
+        x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
+        return (metric(rmod, xmod) > eps) & (t < max_iter)
+
+    def body(c):
+        x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
+        apk = dia_mv_of(pk)
+        AprT = jnp.sum(apk * r0T_ref[...])        # lcg.cpp:548-552
+        ak = rkr0T / AprT
+        qk1 = uk - ak * apk
+        wk = uk + qk1
+        awk = dia_mv_of(wk)
+        x = x + ak * wk
+        rk = rk - ak * awk
+        rkr0T1 = jnp.sum(rk * r0T_ref[...])
+        betak = rkr0T1 / rkr0T                    # lcg.cpp:589
+        uk1 = rk + betak * qk1
+        pk1 = uk1 + betak * (qk1 + betak * pk)
+        return (x, rk, pk1, uk1, qk1, rkr0T1, jnp.sum(rk * rk),
+                jnp.maximum(jnp.sum(x * x), 1.0), t + 1)
+
+    x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = lax.while_loop(
+        cond, body,
+        (x, r0, r0, r0, jnp.zeros_like(r0), rkr0T0, rmod0, xmod0,
+         jnp.int32(0)),
+    )
+    x_out[...] = x
+    t_out[0, 0] = t
+    res_out[0, 0] = metric(rmod, xmod)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "eps", "max_iter", "abs_diff", "interpret"),
+)
+def pallas_cgs_dia(
+    offsets: Tuple[int, ...],
+    dia_vals: jnp.ndarray,           # (n_diags, n)
+    b: jnp.ndarray,                  # (n,)
+    x0: jnp.ndarray,                 # (n,)
+    *,
+    n: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Whole-solve CGS kernel.  Returns (x, iterations, residual)."""
+    pad_l = max(0, -min(offsets, default=0))
+    pad_r = max(0, max(offsets, default=0))
+    dt = jnp.float32
+    vals = dia_vals.astype(dt)
+    b2 = b.astype(dt).reshape(1, n)
+    x02 = x0.astype(dt).reshape(1, n)
+
+    kernel = functools.partial(
+        _cgs_kernel, offsets, pad_l, pad_r, n, float(eps), max_iter, abs_diff
+    )
+    x, t, res = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dt),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dt),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n), dt),                      # shadow residual r0T
+            pltpu.VMEM((1, pad_l + n + pad_r), dt),      # padded image
+        ],
+        interpret=interpret,
+    )(vals, b2, x02)
+    return x.reshape(n), t[0, 0], res[0, 0]

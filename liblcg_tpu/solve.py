@@ -208,11 +208,13 @@ def _compiled_solver(
 
 
 def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
-                   M=None):
-    """Route an eligible f32 CG/PCG to the whole-solve VMEM Pallas kernel
-    (ops/pallas_cg.py): the entire iteration loop runs inside one kernel
-    with x/r/d VMEM-resident — measured ~13x the XLA while-loop form on
-    case_10K (PERFORMANCE.md).  PCG requires a diagonal preconditioner
+                   M=None, method="cg"):
+    """Route an eligible f32 CG/PCG/CGS to the whole-solve VMEM Pallas
+    kernel (ops/pallas_cg.py): the entire iteration loop runs inside one
+    kernel with the state VMEM-resident — measured ~13-20x the XLA
+    while-loop form on case_10K (PERFORMANCE.md).  CG + CGS mirrors the
+    method set the reference's CUDA dispatcher accelerates
+    (lcg_cuda.cu:44-55); PCG requires a diagonal preconditioner
     (JacobiPreconditioner).  Returns a SolveResult, or None when the
     solve is ineligible and ``required`` is False."""
     from .operators import BandedOperator
@@ -237,7 +239,12 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
         if inv_diag is None:
             return fail("pcg kernel needs a diagonal preconditioner "
                         "(JacobiPreconditioner)")
-    from .ops.pallas_cg import fits_in_vmem, pallas_cg_dia, pallas_pcg_dia
+    from .ops.pallas_cg import (
+        fits_in_vmem,
+        pallas_cg_dia,
+        pallas_cgs_dia,
+        pallas_pcg_dia,
+    )
 
     n = A.shape[0]
     if not fits_in_vmem(n, A.n_diagonals):
@@ -252,11 +259,14 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
         max_iter=params.effective_max_iterations(),
         abs_diff=bool(params.abs_diff), interpret=interpret,
     )
-    if inv_diag is not None:
+    if method == "pcg":
         x, t, res = pallas_pcg_dia(
             A.offsets, A.diag_vals, jnp.asarray(inv_diag), b, x0_arr,
             **common,
         )
+    elif method == "cgs":
+        x, t, res = pallas_cgs_dia(A.offsets, A.diag_vals, b, x0_arr,
+                                   **common)
     else:
         x, t, res = pallas_cg_dia(A.offsets, A.diag_vals, b, x0_arr, **common)
     nan = jnp.isnan(res)
@@ -369,10 +379,11 @@ def solve(
 
     if pallas not in ("auto", "never", "always"):
         raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
-    if pallas != "never" and m in ("cg", "pcg"):
+    if pallas != "never" and m in ("cg", "pcg", "cgs") and not is_complex:
         result = _try_pallas_cg(A, b, x0, params, monitor, trace_len,
                                 required=pallas == "always",
-                                M=M if m == "pcg" else None)
+                                M=M if m == "pcg" else None,
+                                method=m)
         if result is not None:
             if check:
                 from .utils.errors import check_status

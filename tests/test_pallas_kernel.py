@@ -186,3 +186,26 @@ def test_batched_pallas_always_rejects_non_cg():
     with pytest.raises(ValueError, match="cg"):
         lcg.solve_batched(A, np.stack([b, b]), method="pcg", M=M,
                           pallas="always")
+
+
+def test_cgs_kernel_matches_engine():
+    """Whole-solve CGS kernel (with CG this mirrors the reference CUDA
+    dispatcher's exact method set, lcg_cuda.cu:44-55): iterations and
+    answer match the XLA cgs engine."""
+    A, b, x_true = _banded_f32(seed=9)
+    params = lcg.SolverParams(epsilon=1e-12)
+    res_k = lcg.solve(A, b, method="cgs", params=params, pallas="always")
+    res_x = lcg.solve(A, b, method="cgs", params=params, pallas="never")
+    assert res_k.converged
+    np.testing.assert_allclose(np.asarray(res_k.x), x_true, atol=1e-3)
+    assert abs(int(res_k.iterations) - int(res_x.iterations)) <= 2
+
+
+def test_complex_cgs_never_routes_to_kernel(complex_sym_small):
+    """Complex CGS must use the complex engine (shadow-residual draw),
+    never the real f32 kernel, even with pallas='always' semantics
+    guarded by dtype."""
+    A, b, x_true = complex_sym_small
+    res = lcg.solve(A, b, method="cgs", params=lcg.SolverParams(epsilon=1e-20))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
