@@ -594,3 +594,138 @@ def pallas_cgs_dia(
         interpret=interpret,
     )(vals, b2, x02)
     return x.reshape(n), t[0, 0], res[0, 0]
+
+
+def _pcg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
+                        abs_diff,
+                        vals_ref, invd_ref, b_ref, x0_ref,
+                        x_out, t_out, res_out,
+                        d_ref, d_ext_ref):
+    """Multi-RHS Jacobi-PCG: the batched-CG kernel's lockstep/freezing
+    structure with the Kaasschieter recurrence of ``_pcg_kernel``."""
+    x = x0_ref[...]                                    # (R, n)
+
+    def dia_mv(v_ext):
+        acc = None
+        for i, o in enumerate(offsets):
+            term = vals_ref[i : i + 1, :] * v_ext[:, pad_l + o : pad_l + o + n]
+            acc = term if acc is None else acc + term
+        return acc
+
+    def rowsum(v):
+        return jnp.sum(v, axis=1, keepdims=True)       # (R, 1)
+
+    d_ext_ref[...] = jnp.zeros_like(d_ext_ref)
+    d_ext_ref[:, pad_l : pad_l + n] = x
+    r = b_ref[...] - dia_mv(d_ext_ref[...])
+    z = invd_ref[...] * r
+    d_ref[...] = z
+    d_ext_ref[:, pad_l : pad_l + n] = z
+    zTr0 = rowsum(z * r)
+    rmod0 = rowsum(r * r)
+    xmod0 = jnp.maximum(rowsum(x * x), 1.0)
+
+    def metric(rmod, xmod):
+        if abs_diff:
+            return jnp.sqrt(rmod) / n
+        return rmod / xmod
+
+    def alive_of(rmod, xmod, t):
+        return (metric(rmod, xmod) > eps) & (t < max_iter)
+
+    def cond(c):
+        x, r, zTr, rmod, xmod, t = c
+        return jnp.any(alive_of(rmod, xmod, t))
+
+    def body(c):
+        x, r, zTr, rmod, xmod, t = c
+        alive = alive_of(rmod, xmod, t)
+        ad = dia_mv(d_ext_ref[...])
+        d = d_ref[...]
+        dTAd = rowsum(d * ad)
+        ak = zTr / jnp.where(dTAd == 0, 1.0, dTAd)
+        x = jnp.where(alive, x + ak * d, x)
+        r1 = jnp.where(alive, r - ak * ad, r)
+        z = invd_ref[...] * r1
+        zTr1 = rowsum(z * r1)
+        betak = zTr1 / jnp.where(zTr == 0, 1.0, zTr)
+        dnew = jnp.where(alive, z + betak * d, d)
+        d_ref[...] = dnew
+        d_ext_ref[:, pad_l : pad_l + n] = dnew
+        zTr = jnp.where(alive, zTr1, zTr)
+        rmod = jnp.where(alive, rowsum(r1 * r1), rmod)
+        xmod = jnp.where(alive, jnp.maximum(rowsum(x * x), 1.0), xmod)
+        return x, r1, zTr, rmod, xmod, t + alive.astype(jnp.int32)
+
+    x, r, zTr, rmod, xmod, t = lax.while_loop(
+        cond, body,
+        (x, r, zTr0, rmod0, xmod0, jnp.zeros((nrhs, 1), jnp.int32)),
+    )
+    x_out[...] = x
+    t_out[...] = t
+    res_out[...] = metric(rmod, xmod)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "nrhs", "eps", "max_iter", "abs_diff",
+                     "interpret"),
+)
+def pallas_pcg_dia_batched(
+    offsets: Tuple[int, ...],
+    dia_vals: jnp.ndarray,           # (n_diags, n)
+    inv_diag: jnp.ndarray,           # (n,)
+    B: jnp.ndarray,                  # (nrhs, n)
+    X0: jnp.ndarray,                 # (nrhs, n)
+    *,
+    n: int,
+    nrhs: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Whole-solve multi-RHS Jacobi-PCG kernel.  Returns (X, t, res)."""
+    pad_l = max(0, -min(offsets, default=0))
+    pad_r = max(0, max(offsets, default=0))
+    dt = jnp.float32
+    vals = dia_vals.astype(dt)
+    invd = inv_diag.astype(dt).reshape(1, n)
+    B2 = B.astype(dt)
+    X02 = X0.astype(dt)
+
+    kernel = functools.partial(
+        _pcg_kernel_batched, offsets, pad_l, pad_r, n, nrhs, float(eps),
+        max_iter, abs_diff
+    )
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    x, t, res = pl.pallas_call(
+        kernel,
+        **kw,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrhs, n), dt),
+            jax.ShapeDtypeStruct((nrhs, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nrhs, 1), dt),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nrhs, n), dt),                      # d
+            pltpu.VMEM((nrhs, pad_l + n + pad_r), dt),      # padded image
+        ],
+        interpret=interpret,
+    )(vals, invd, B2, X02)
+    return x, t.reshape(nrhs), res.reshape(nrhs)

@@ -436,9 +436,10 @@ BATCHED_METHODS = frozenset(
 )
 
 
-def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required):
+def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required,
+                           M=None, method="cg"):
     """Multi-RHS analogue of :func:`_try_pallas_cg`: route an eligible f32
-    CG stack to the batched VMEM kernel."""
+    CG/Jacobi-PCG stack to the batched VMEM kernel."""
     from .operators import BandedOperator
 
     def fail(msg):
@@ -455,7 +456,17 @@ def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required):
         return fail("the operator is not a BandedOperator (DIA)")
     if jnp.dtype(B.dtype) != jnp.float32 or jnp.dtype(A.dtype) != jnp.float32:
         return fail("the kernel is float32-only (Mosaic has no f64)")
-    from .ops.pallas_cg import fits_in_vmem_batched, pallas_cg_dia_batched
+    inv_diag = None
+    if M is not None:
+        inv_diag = getattr(M, "inv_diag", None)
+        if inv_diag is None:
+            return fail("pcg kernel needs a diagonal preconditioner "
+                        "(JacobiPreconditioner)")
+    from .ops.pallas_cg import (
+        fits_in_vmem_batched,
+        pallas_cg_dia_batched,
+        pallas_pcg_dia_batched,
+    )
 
     n = A.shape[0]
     nrhs = B.shape[0]
@@ -467,13 +478,23 @@ def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required):
 
     # f32-only kernel: trace in an x64-free scope (x64 promotion inside
     # the kernel trips Mosaic scalar conversion).
+    common = dict(
+        n=n, nrhs=nrhs, eps=params.epsilon,
+        max_iter=params.effective_max_iterations(),
+        abs_diff=bool(params.abs_diff), interpret=interpret,
+    )
     with jax.enable_x64(False):
-        X, t, res = pallas_cg_dia_batched(
-            A.offsets, A.diag_vals, jnp.asarray(B, jnp.float32),
-            jnp.asarray(X0, jnp.float32), n=n, nrhs=nrhs,
-            eps=params.epsilon, max_iter=params.effective_max_iterations(),
-            abs_diff=bool(params.abs_diff), interpret=interpret,
-        )
+        B32 = jnp.asarray(B, jnp.float32)
+        X032 = jnp.asarray(X0, jnp.float32)
+        if method == "pcg":
+            X, t, res = pallas_pcg_dia_batched(
+                A.offsets, A.diag_vals, jnp.asarray(inv_diag), B32, X032,
+                **common,
+            )
+        else:
+            X, t, res = pallas_cg_dia_batched(
+                A.offsets, A.diag_vals, B32, X032, **common,
+            )
     nan = jnp.isnan(res)
     conv = res <= params.epsilon
     status = jnp.where(
@@ -579,14 +600,16 @@ def solve_batched(
 
     if pallas not in ("auto", "never", "always"):
         raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
-    if pallas == "always" and m != "cg":
+    if pallas == "always" and m not in ("cg", "pcg"):
         raise ValueError(
-            f"pallas='always' but the batched VMEM kernel supports "
-            f"method='cg' only (got {m!r})"
+            f"pallas='always' but the batched VMEM kernels support "
+            f"method='cg'/'pcg' only (got {m!r})"
         )
-    if pallas != "never" and m == "cg":
+    if pallas != "never" and m in ("cg", "pcg") and not is_complex:
         result = _try_pallas_cg_batched(A, B, X0_arr, params, monitor,
-                                        required=pallas == "always")
+                                        required=pallas == "always",
+                                        M=M if m == "pcg" else None,
+                                        method=m)
         if result is not None:
             if check:
                 from .utils.errors import check_status

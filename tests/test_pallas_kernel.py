@@ -180,12 +180,27 @@ def test_batched_kernel_always_rejects_oversize():
                           pallas="always")
 
 
-def test_batched_pallas_always_rejects_non_cg():
+def test_batched_pallas_always_rejects_unsupported_method():
     A, b, _ = _banded_f32()
-    M = lcg.JacobiPreconditioner(A)
     with pytest.raises(ValueError, match="cg"):
-        lcg.solve_batched(A, np.stack([b, b]), method="pcg", M=M,
+        lcg.solve_batched(A, np.stack([b, b]), method="cgs",
                           pallas="always")
+
+
+def test_batched_pcg_kernel_matches_engine():
+    """Multi-RHS Jacobi-PCG kernel vs the XLA batched pcg path."""
+    A, b, x_true = _banded_f32(seed=11)
+    M = lcg.JacobiPreconditioner(A)
+    B = np.stack([b, 0.5 * b, 2.0 * b])
+    params = lcg.SolverParams(epsilon=1e-12)
+    rk = lcg.solve_batched(A, B, method="pcg", M=M, params=params,
+                           pallas="always")
+    rx = lcg.solve_batched(A, B, method="pcg", M=M, params=params,
+                           pallas="never")
+    np.testing.assert_allclose(np.asarray(rk.x), np.asarray(rx.x), atol=1e-3)
+    assert np.all(np.abs(np.asarray(rk.iterations) -
+                         np.asarray(rx.iterations)) <= 2)
+    np.testing.assert_allclose(np.asarray(rk.x)[0], x_true, atol=1e-3)
 
 
 def test_cgs_kernel_matches_engine():
