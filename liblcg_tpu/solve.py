@@ -605,7 +605,12 @@ def solve_batched(
             f"pallas='always' but the batched VMEM kernels support "
             f"method='cg'/'pcg' only (got {m!r})"
         )
-    if pallas != "never" and m in ("cg", "pcg") and not is_complex:
+    # Batched CG auto-routes (chip-validated); batched PCG is opt-in
+    # (pallas='always') until its on-chip compile is validated — its
+    # interpret-mode parity is tested, but a default route must never
+    # risk a pathological remote compile.
+    route = (m == "cg") or (m == "pcg" and pallas == "always")
+    if pallas != "never" and route and not is_complex:
         result = _try_pallas_cg_batched(A, B, X0_arr, params, monitor,
                                         required=pallas == "always",
                                         M=M if m == "pcg" else None,
