@@ -101,11 +101,17 @@ def _chain(solve_one, b):
 
 
 def _slope(solve_one, b, K, reps=3):
-    """Per-solve device seconds via the chained-dispatch slope."""
+    """Per-solve device seconds via the chained-dispatch slope.
+
+    Returns ``(None, t1)`` when the K-chain did not measurably beat the
+    1-chain (tunnel jitter swamped the device time): an unmeasurable
+    workload must surface as missing, never as 0 ms / infinite nnz/s."""
     run = _chain(solve_one, b)
     t1 = _best(lambda: run(b, jnp.int32(1)), reps=reps)
     tK = _best(lambda: run(b, jnp.int32(K)), reps=reps)
-    return max(tK - t1, 0.0) / (K - 1), t1
+    if tK <= t1:
+        return None, t1
+    return (tK - t1) / (K - 1), t1
 
 
 def bench_laplacian(dtype, grid=GRID, K=4):
@@ -124,8 +130,11 @@ def bench_laplacian(dtype, grid=GRID, K=4):
         return _real.cg(A, b, params=params)["x"]
 
     dev, wall = _slope(one, b, K)
-    return {"wall_ms": wall * 1e3, "device_ms": dev * 1e3,
-            "nnz_per_s": A.nnz * LAP_ITERS / max(dev, 1e-9)}
+    out = {"wall_ms": wall * 1e3}
+    if dev is not None:
+        out["device_ms"] = dev * 1e3
+        out["nnz_per_s"] = A.nnz * LAP_ITERS / dev
+    return out
 
 
 def bench_case10k():
@@ -160,13 +169,15 @@ def bench_case10k():
     bbest = _best(lambda: lcg.solve_batched(A, B, method="cg", params=params),
                   reps=3, sync=lambda r: np.asarray(r.x[0, :4]))
 
-    return {
+    out = {
         "wall_ms": wall * 1e3,
-        "device_ms": dev * 1e3,
         "iterations": int(res.iterations),
         "converged": bool(res.converged and avg_err < 1e-5),
         "batched32_wall_ms_per_solve": bbest * 1e3 / nrhs,
     }
+    if dev is not None:
+        out["device_ms"] = dev * 1e3
+    return out
 
 
 def bench_case10k_pallas():
@@ -204,6 +215,8 @@ def bench_case10k_pallas():
         dev, wall = _slope(one, b, K=256)
     except Exception:
         return None
+    if dev is None:
+        return None
     out = {"wall_ms": wall * 1e3, "device_ms": dev * 1e3, "iterations": 121}
 
     # Multi-RHS VMEM kernel: 32 systems frozen per-system, one kernel.
@@ -223,7 +236,8 @@ def bench_case10k_pallas():
     try:
         with jax.enable_x64(False):
             dev_b, _ = _slope(one_b, B, K=32)
-        out["batched32_device_us_per_solve"] = dev_b * 1e6 / nrhs
+        if dev_b is not None:
+            out["batched32_device_us_per_solve"] = dev_b * 1e6 / nrhs
     except Exception:
         pass
     return out
@@ -432,25 +446,26 @@ def main():
         out, not crash the report assembly."""
         return d if isinstance(d, dict) and all(k in d for k in keys) else None
 
-    lap64 = _valid(r.get("lap64"), "device_ms", "wall_ms", "nnz_per_s")
-    c10k = _valid(r.get("case10k"), "wall_ms", "device_ms", "iterations",
+    lap64 = _valid(r.get("lap64"), "wall_ms")
+    c10k = _valid(r.get("case10k"), "wall_ms", "iterations",
                   "converged", "batched32_wall_ms_per_solve")
     c10k_pallas = _valid(r.get("pallas"), "wall_ms", "device_ms")
-    lap256 = _valid(r.get("lap256"), "device_ms", "nnz_per_s")
+    lap256 = _valid(r.get("lap256"), "wall_ms")
     cplx = _valid(r.get("complex"), "wall_ms", "iterations", "ok")
-    lap32 = _valid(r.get("lap32"), "device_ms", "nnz_per_s")
+    lap32 = _valid(r.get("lap32"), "wall_ms")
     _note("done")
 
     baseline = _baseline()
     lap_base = baseline.get("laplacian_128_cg100", {}).get("best_ms")
     c10k_base = baseline.get("case_10K_cg", {}).get("best_ms")
 
+    lap_dev = lap64.get("device_ms") if lap64 else None
     out = {
         "metric": "laplacian128_f64_cg100_device_ms",
-        "value": round(lap64["device_ms"], 1) if lap64 else None,
+        "value": round(lap_dev, 1) if lap_dev is not None else None,
         "unit": "ms",
-        "vs_baseline": round(lap_base / lap64["device_ms"], 2)
-        if (lap64 and lap_base) else 1.0,
+        "vs_baseline": round(lap_base / lap_dev, 2)
+        if (lap_dev is not None and lap_base) else 1.0,
         "device": _device_string(_subprocess_env()),
     }
     if lap64 is not None:
@@ -459,25 +474,28 @@ def main():
             out["lap_f64_wall_vs_baseline"] = round(
                 lap_base / lap64["wall_ms"], 2
             )
-        out["lap_f64_nnz_per_s"] = f"{lap64['nnz_per_s']:.3e}"
-    if lap32 is not None:
+        if "nnz_per_s" in lap64:
+            out["lap_f64_nnz_per_s"] = f"{lap64['nnz_per_s']:.3e}"
+    if lap32 is not None and "device_ms" in lap32:
         out["lap_f32_device_ms"] = round(lap32["device_ms"], 1)
         out["lap_f32_nnz_per_s"] = f"{lap32['nnz_per_s']:.3e}"
-    if lap256 is not None:
+    if lap256 is not None and "device_ms" in lap256:
         out["lap256_f32_device_ms"] = round(lap256["device_ms"], 1)
         out["lap256_f32_nnz_per_s"] = f"{lap256['nnz_per_s']:.3e}"
     if c10k is not None:
         out["case10k_cg_wall_ms"] = round(c10k["wall_ms"], 2)
-        out["case10k_cg_device_ms"] = round(c10k["device_ms"], 3)
         out["case10k_iterations"] = c10k["iterations"]
         out["case10k_converged"] = c10k["converged"]
         out["case10k_batched32_wall_ms_per_solve"] = round(
             c10k["batched32_wall_ms_per_solve"], 3
         )
+        if "device_ms" in c10k:
+            out["case10k_cg_device_ms"] = round(c10k["device_ms"], 3)
+            if c10k_base:
+                out["case10k_vs_baseline"] = round(
+                    c10k_base / c10k["device_ms"], 2
+                )
         if c10k_base:
-            out["case10k_vs_baseline"] = round(
-                c10k_base / c10k["device_ms"], 2
-            )
             out["case10k_wall_vs_baseline"] = round(
                 c10k_base / c10k["wall_ms"], 3
             )

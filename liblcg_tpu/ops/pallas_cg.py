@@ -31,21 +31,31 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: VMEM budget check: leave headroom under the ~16 MB per-core VMEM.
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+#: The single-solve kernels run under the default ~16 MB scoped VMEM; the
+#: batched kernels raise the cap via CompilerParams (vmem_limit_bytes).
+#: Both eligibility checks size the REAL buffer census against 75% of the
+#: respective cap, so changing either constant cannot silently overflow.
+_VMEM_LIMIT_BYTES = 16 * 1024 * 1024
+_BATCHED_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+#: n-length (or nrhs x n) buffers live in the kernel at once: inputs
+#: b + x0, the x output, two scratch buffers (d + the padded direction
+#: image), and the while-loop carry's duplicate of x and g/r.  CGS carries
+#: more (pk/uk/qk + shadow) — 10 covers the widest kernel in the family.
+_N_VEC_BUFFERS = 10
 
 
 def fits_in_vmem(n: int, n_diags: int, dtype=jnp.float32) -> bool:
     item = jnp.dtype(dtype).itemsize
-    vecs = 5 * n * item                    # x, r (as x_ext), d, Ad, b
+    vecs = _N_VEC_BUFFERS * n * item
     mat = n_diags * n * item
-    return (vecs + mat) < _VMEM_BUDGET_BYTES
+    return (vecs + mat) < 0.75 * _VMEM_LIMIT_BYTES
 
 
 def _cg_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,
                vals_ref, b_ref, x0_ref,
                x_out, t_out, res_out,
-               d_ref, g_ext_ref, ad_ref):
+               d_ref, g_ext_ref):
     """CG on A x = b with A in DIA storage, everything VMEM-resident.
 
     Layout: vectors are (1, n); ``g_ext_ref`` holds the zero-padded
@@ -184,7 +194,6 @@ def pallas_cg_dia(
         scratch_shapes=[
             pltpu.VMEM((1, n), dt),                      # d
             pltpu.VMEM((1, pad_l + n + pad_r), dt),      # padded direction image
-            pltpu.VMEM((1, n), dt),                      # (reserved) Ad
         ],
         interpret=interpret,
     )(vals, b2, x02)
@@ -474,9 +483,9 @@ def pallas_cg_dia_batched(
 def fits_in_vmem_batched(n: int, n_diags: int, nrhs: int,
                          dtype=jnp.float32) -> bool:
     item = jnp.dtype(dtype).itemsize
-    vecs = 5 * nrhs * n * item             # X, g, d, image, B
-    mat = n_diags * n * item
-    return (vecs + mat) < _VMEM_BUDGET_BYTES
+    vecs = _N_VEC_BUFFERS * nrhs * n * item
+    mat = (n_diags + 1) * n * item         # DIA values + inv_diag
+    return (vecs + mat) < 0.75 * _BATCHED_VMEM_LIMIT_BYTES
 
 
 def _cgs_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,

@@ -23,6 +23,12 @@ from .triangular import (
     level_schedule,
     triangular_solve,
 )
+from .blocked_tri import (
+    BlockedTriangular,
+    BlockedTriangularPreconditioner,
+    blocked_schedule,
+    blocked_triangular_solve,
+)
 from .dense import (
     DenseCholeskyPreconditioner,
     cholesky,
@@ -42,6 +48,10 @@ __all__ = [
     "TriangularPreconditioner",
     "level_schedule",
     "triangular_solve",
+    "BlockedTriangular",
+    "BlockedTriangularPreconditioner",
+    "blocked_schedule",
+    "blocked_triangular_solve",
     "DenseCholeskyPreconditioner",
     "cholesky",
     "cholesky_symmetric",

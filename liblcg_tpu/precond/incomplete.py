@@ -58,7 +58,32 @@ class IncompleteFactorization(NamedTuple):
     u_cols: np.ndarray
     u_vals: np.ndarray
 
-    def preconditioner(self) -> TriangularPreconditioner:
+    def preconditioner(self, mode: str = "auto", block=None):
+        """Application operator for the factorization (the ``MxProduct``
+        callback the reference's samples build, sample7.cpp:107-108).
+
+        ``mode="blocked"`` uses the MXU-form blocked banded solve
+        (:mod:`.blocked_tri` — no gathers, ~n/block sequential steps);
+        ``"levels"`` the level-scheduled gather form; ``"auto"`` picks
+        blocked for banded factors (bandwidth <= 1024) and levels
+        otherwise.
+        """
+        if mode not in ("auto", "blocked", "levels"):
+            raise ValueError(f"mode must be auto/blocked/levels, got {mode!r}")
+        if mode != "levels":
+            off = self.l_rows - self.l_cols
+            w = int(off.max()) if len(off) else 0
+            if mode == "blocked" or w <= 1024:
+                from .blocked_tri import (
+                    BlockedTriangularPreconditioner,
+                    blocked_schedule,
+                )
+
+                lower = blocked_schedule(self.n, self.l_rows, self.l_cols,
+                                         self.l_vals, lower=True, block=block)
+                upper = blocked_schedule(self.n, self.u_rows, self.u_cols,
+                                         self.u_vals, lower=False, block=block)
+                return BlockedTriangularPreconditioner(lower, upper)
         lower = level_schedule(self.n, self.l_rows, self.l_cols, self.l_vals, lower=True)
         upper = level_schedule(self.n, self.u_rows, self.u_cols, self.u_vals, lower=False)
         return TriangularPreconditioner(lower, upper)

@@ -75,6 +75,16 @@ _ALIASES = {
 #: Methods available in BOTH domains beyond the per-domain tables.
 _EXTRA_METHODS = ("chebyshev", "gmres", "pgmres", "minres", "pminres")
 
+#: Suggested preconditioned counterpart, for the M-with-unpreconditioned-
+#: method error message (the reference routes preconditioned solves to a
+#: separate dispatcher, lcg.cpp:87-91; passing M anywhere else is a bug).
+_PRECONDITIONED_OF = {
+    "cg": "pcg", "cg_fused": "pcg", "cg_pipelined": "pcg_pipelined",
+    "gmres": "pgmres", "minres": "pminres", "bicg": "pbicg",
+    "bicg_sym": "pbicg", "cgs": "pcg", "bicgstab": "pcg",
+    "bicgstab2": "pcg", "tfqmr": "pcg", "chebyshev": "pcg",
+}
+
 REAL_METHODS = tuple(_REAL_METHODS) + _EXTRA_METHODS
 COMPLEX_METHODS = tuple(_CPLX_METHODS) + ("gmres", "pgmres")
 
@@ -212,11 +222,13 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
     """Route an eligible f32 CG/PCG/CGS to the whole-solve VMEM Pallas
     kernel (ops/pallas_cg.py): the entire iteration loop runs inside one
     kernel with the state VMEM-resident — measured ~13-20x the XLA
-    while-loop form on case_10K (PERFORMANCE.md).  CG + CGS mirrors the
-    method set the reference's CUDA dispatcher accelerates
-    (lcg_cuda.cu:44-55); PCG requires a diagonal preconditioner
-    (JacobiPreconditioner).  Returns a SolveResult, or None when the
-    solve is ineligible and ``required`` is False."""
+    while-loop form on case_10K (PERFORMANCE.md).  All three kernels are
+    chip-validated with recorded runs (profiling/probe_r3_kernels.json:
+    PCG/CGS iteration counts match the XLA loop exactly on case_10K).
+    CG + CGS mirrors the method set the reference's CUDA dispatcher
+    accelerates (lcg_cuda.cu:44-55); PCG requires a diagonal
+    preconditioner (JacobiPreconditioner).  Returns a SolveResult, or
+    None when the solve is ineligible and ``required`` is False."""
     from .operators import BandedOperator
 
     def fail(msg):
@@ -363,6 +375,12 @@ def solve(
     err = params.validate(for_method=m)
     if err is not None:
         return _error_result(jnp.zeros_like(b) if x0 is None else x0, err)
+    if M is not None and not needs_M:
+        raise ValueError(
+            f"method {m!r} does not use a preconditioner; M would be "
+            f"silently ignored.  Use the preconditioned variant "
+            f"({_PRECONDITIONED_OF.get(m, 'pcg')!r}) or drop M."
+        )
     if needs_M and M is None:
         return _error_result(
             jnp.zeros_like(b) if x0 is None else x0,
@@ -590,6 +608,12 @@ def solve_batched(
     err = params.validate(for_method=m)
     if err is not None:
         return _error_result(B if X0 is None else X0, err)
+    if M is not None and not needs_M:
+        raise ValueError(
+            f"method {m!r} does not use a preconditioner; M would be "
+            f"silently ignored.  Use the preconditioned variant "
+            f"({_PRECONDITIONED_OF.get(m, 'pcg')!r}) or drop M."
+        )
     if needs_M and M is None:
         return _error_result(B, Status.NULL_PRECONDITION_MATRIX)
     if needs_bounds and (lower is None or upper is None):
@@ -605,11 +629,11 @@ def solve_batched(
             f"pallas='always' but the batched VMEM kernels support "
             f"method='cg'/'pcg' only (got {m!r})"
         )
-    # Batched CG auto-routes (chip-validated); batched PCG is opt-in
-    # (pallas='always') until its on-chip compile is validated — its
-    # interpret-mode parity is tested, but a default route must never
-    # risk a pathological remote compile.
-    route = (m == "cg") or (m == "pcg" and pallas == "always")
+    # Batched CG and Jacobi-PCG both auto-route: chip-validated with
+    # recorded runs (profiling/probe_r3_kernels.json — batched PCG matches
+    # the XLA loop's per-system iteration counts exactly at 24 us/solve on
+    # case_10K x32).
+    route = m in ("cg", "pcg")
     if pallas != "never" and route and not is_complex:
         result = _try_pallas_cg_batched(A, B, X0_arr, params, monitor,
                                         required=pallas == "always",

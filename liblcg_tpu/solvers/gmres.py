@@ -112,19 +112,22 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
         phibar0 = beta                                # |g[j+1]| = ||r_j||
 
         # Product budget: t entering the cycle (harness pre-incremented by
-        # one, so subtract it back out).  The hard iteration cap bounds
-        # the inner loop too when max_iterations is 0/unbounded.
-        t_used = jnp.max(c["t"]) - 1
+        # one, so subtract it back out) — PER SYSTEM, so a batched system
+        # is never capped earlier than the same system solved alone just
+        # because a slower batchmate spent more products.  The hard
+        # iteration cap bounds the inner loop too when max_iterations is
+        # 0/unbounded.
+        t_used = c["t"] - 1                          # bshape (or scalar)
         iter_limit = (params.max_iterations if params.max_iterations > 0
                       else max_iter)
+        budget = jnp.maximum(iter_limit - t_used, 0).reshape(bshape)
         trace0 = c.get("trace")
         jconv0 = jnp.full(bshape, -1, jnp.int32)
 
         def inner_cond(s):
             V, R, cs, sn, g, phibar, j, trace, jconv = s
-            live = metric(phibar * phibar, x_sq) > params.epsilon
-            live = jnp.any(live)
-            return live & (j < m) & (t_used + j < iter_limit)
+            live = (metric(phibar * phibar, x_sq) > params.epsilon) & (j < budget)
+            return jnp.any(live) & (j < m)
 
         def inner_body(s):
             V, R, cs, sn, g, phibar, j, trace, jconv = s
@@ -178,7 +181,9 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
             res_j = metric(phibar * phibar, x_sq)
             # Per-product residual trace (same cadence as the other
             # engines; the outer harness records the cycle boundaries).
-            if trace is not None:
+            # Single-system only: under the batched harness c["t"] is a
+            # per-system vector and would index the trace with an array.
+            if trace is not None and bshape == ():
                 trace = H.record_trace(trace, c["t"] + j,
                                        res_j.astype(trace.dtype))
             # First product at which each system met the tolerance — the
@@ -218,11 +223,12 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
         x = x + z
         rk = b - A.mv(x)                       # true residual, cycle boundary
         # Products charged per system: the product at which it converged,
-        # or the full cycle if it didn't (harness added 1 already).  The
-        # clamp guarantees forward progress when the hard cap leaves a
-        # cycle no product budget (j_taken == 0) — t then lands one past
-        # the cap, the harness convention for a cap exit.
-        spent = jnp.where(jconv >= 0, jconv, j_taken)
+        # or the cycle's products clamped to the system's own remaining
+        # budget if it didn't (harness added 1 already).  The clamp
+        # guarantees forward progress when the hard cap leaves a cycle no
+        # product budget (j_taken == 0) — t then lands one past the cap,
+        # the harness convention for a cap exit.
+        spent = jnp.where(jconv >= 0, jconv, jnp.minimum(j_taken, budget))
         t = c["t"] + jnp.maximum(spent.reshape(c["t"].shape) - 1, 0)
         out = dict(
             c, x=x, t=t,

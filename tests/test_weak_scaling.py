@@ -119,11 +119,15 @@ def test_weak_scaling_artifact_and_thresholds():
     # Wall-clock efficiency on a shared CI host is noisy; re-measure once
     # and keep the better sweep before declaring the threshold missed
     # (transient load deflates the large-mesh runs, never inflates them).
-    rows = measure()
+    # BOTH sweeps are recorded in the artifact so an intermittent
+    # regression that only sometimes clears the threshold stays visible
+    # in weak_scaling.json history.
+    attempts = [measure()]
+    rows = attempts[0]
     if rows[-1]["efficiency"] < 0.8:
-        rows2 = measure()
-        if rows2[-1]["efficiency"] > rows[-1]["efficiency"]:
-            rows = rows2
+        attempts.append(measure())
+        if attempts[1][-1]["efficiency"] > rows[-1]["efficiency"]:
+            rows = attempts[1]
 
     counts = _while_body_collectives(_lowered_cg_hlo(8))
 
@@ -133,8 +137,19 @@ def test_weak_scaling_artifact_and_thresholds():
         "note": "virtual CPU mesh: efficiency measures SPMD machinery "
                 "overhead, not ICI bandwidth",
         "sweep": rows,
+        "sweep_attempts": [[r["efficiency"] for r in a] for a in attempts],
         "cg_while_body_collectives": counts,
     }
+    # Preserve the real-hardware anchor written by the TPU probe
+    # (profiling/probe_r3_hw_anchor.py): the virtual-mesh curve is
+    # machinery-only; the single-chip nnz/s point ties it to hardware.
+    try:
+        with open(ARTIFACT) as f:
+            prev = json.load(f)
+        if "tpu_single_chip" in prev:
+            artifact["tpu_single_chip"] = prev["tpu_single_chip"]
+    except Exception:
+        pass
     with open(ARTIFACT, "w") as f:
         json.dump(artifact, f, indent=2)
 
