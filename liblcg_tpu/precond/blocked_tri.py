@@ -76,7 +76,7 @@ register_pytree_node(BlockedTriangular, _blocked_flatten, _blocked_unflatten)
 
 def blocked_schedule(
     n: int, rows, cols, vals, *, lower: bool = True,
-    block: Optional[int] = None,
+    block: Optional[int] = None, dtype=None,
 ) -> BlockedTriangular:
     """Build a :class:`BlockedTriangular` from COO triplets of a banded
     triangular matrix.
@@ -86,6 +86,9 @@ def blocked_schedule(
     wide or unbanded factors should use :func:`.triangular.level_schedule`.
     The diagonal must be fully present and nonzero (the reference's
     ``lcg_full_rank_coo`` contract, preconditioner.cpp:368-381).
+    ``dtype`` sets the DEVICE storage dtype (e.g. float32 for the TPU
+    speed path — f64 is software-emulated on v5e); the block inversions
+    always run host-side in f64.
     """
     from scipy.linalg import solve_triangular
 
@@ -142,7 +145,9 @@ def blocked_schedule(
     dinv = np.stack([solve_triangular(D[j], eye, lower=lower)
                      for j in range(nb)])
     g = np.einsum("kij,kjw->kiw", dinv, C)
-    return BlockedTriangular(jnp.asarray(dinv), jnp.asarray(g),
+    sd = np.dtype(dtype) if dtype is not None else dt
+    return BlockedTriangular(jnp.asarray(dinv.astype(sd)),
+                             jnp.asarray(g.astype(sd)),
                              lower=lower, n=n, m=m, w=w)
 
 

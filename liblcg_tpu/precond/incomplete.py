@@ -42,6 +42,19 @@ def _coo_from_operator(A) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:
         v = vals.ravel()
         keep = v != 0
         return n, r[keep].astype(np.int64), c[keep].astype(np.int64), v[keep]
+    if hasattr(A, "diag_vals"):  # BandedOperator (DIA storage)
+        n = A.shape[0]
+        dv = np.asarray(A.diag_vals)            # (n_diags, n)
+        rs, cs, vs = [], [], []
+        for d, o in enumerate(A.offsets):
+            rows = np.arange(max(0, -o), min(n, n - o))
+            v = dv[d, rows]
+            keep = v != 0
+            rs.append(rows[keep])
+            cs.append(rows[keep] + o)
+            vs.append(v[keep])
+        return (n, np.concatenate(rs).astype(np.int64),
+                np.concatenate(cs).astype(np.int64), np.concatenate(vs))
     arr = np.asarray(A if not hasattr(A, "A") else A.A)
     rr, cc = np.nonzero(arr)
     return arr.shape[0], rr, cc, arr[rr, cc]
@@ -58,7 +71,7 @@ class IncompleteFactorization(NamedTuple):
     u_cols: np.ndarray
     u_vals: np.ndarray
 
-    def preconditioner(self, mode: str = "auto", block=None):
+    def preconditioner(self, mode: str = "auto", block=None, dtype=None):
         """Application operator for the factorization (the ``MxProduct``
         callback the reference's samples build, sample7.cpp:107-108).
 
@@ -66,7 +79,8 @@ class IncompleteFactorization(NamedTuple):
         (:mod:`.blocked_tri` — no gathers, ~n/block sequential steps);
         ``"levels"`` the level-scheduled gather form; ``"auto"`` picks
         blocked for banded factors (bandwidth <= 1024) and levels
-        otherwise.
+        otherwise.  ``dtype`` (blocked mode) sets device storage — pass
+        float32 for the TPU speed path.
         """
         if mode not in ("auto", "blocked", "levels"):
             raise ValueError(f"mode must be auto/blocked/levels, got {mode!r}")
@@ -80,9 +94,11 @@ class IncompleteFactorization(NamedTuple):
                 )
 
                 lower = blocked_schedule(self.n, self.l_rows, self.l_cols,
-                                         self.l_vals, lower=True, block=block)
+                                         self.l_vals, lower=True, block=block,
+                                         dtype=dtype)
                 upper = blocked_schedule(self.n, self.u_rows, self.u_cols,
-                                         self.u_vals, lower=False, block=block)
+                                         self.u_vals, lower=False, block=block,
+                                         dtype=dtype)
                 return BlockedTriangularPreconditioner(lower, upper)
         lower = level_schedule(self.n, self.l_rows, self.l_cols, self.l_vals, lower=True)
         upper = level_schedule(self.n, self.u_rows, self.u_cols, self.u_vals, lower=False)
