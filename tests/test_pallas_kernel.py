@@ -115,27 +115,6 @@ def test_pallas_auto_on_cpu_uses_xla_loop():
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
 
 
-def test_fused_stencil_cg_interpret():
-    """Fused-pass stencil CG (ops/pallas_stencil_cg): exact iteration
-    parity with the XLA engine on the 7-point Laplacian."""
-    from liblcg_tpu.ops.pallas_stencil_cg import solve_cg_stencil, supported
-
-    nz, ny, nx = 8, 8, 128
-    A = lcg.Laplacian3DOperator(nz, ny, nx, dtype=jnp.float32)
-    assert supported(nz, ny, nx, A.dtype)
-    rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.normal(size=nz * ny * nx), jnp.float32)
-    params = lcg.SolverParams(epsilon=1e-10)
-    x, t, res = solve_cg_stencil(A, b, params=params, interpret=True)
-    ref = lcg.solve(A, b, params=params)
-    assert int(t) == int(ref.iterations)
-    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), atol=1e-4)
-    # Unsupported grid -> ValueError (callers fall back to solve()).
-    bad = lcg.Laplacian3DOperator(8, 8, 100, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="unsupported"):
-        solve_cg_stencil(bad, jnp.ones(8 * 8 * 100, jnp.float32))
-
-
 def test_pcg_kernel_matches_engine():
     """Whole-solve Jacobi-PCG kernel: same iterations and answer as the
     XLA pcg engine (auto-routed via solve(pallas='always'))."""
