@@ -240,6 +240,154 @@ def bench_case10k_pallas():
             out["batched32_device_us_per_solve"] = dev_b * 1e6 / nrhs
     except Exception:
         pass
+
+    # PCG + CGS whole-solve kernels and the batched Jacobi-PCG kernel —
+    # all auto-routed since round 3 (chip-validated,
+    # profiling/probe_r3_kernels.json); their numbers belong in every
+    # BENCH capture.  Fixed iteration counts = the measured on-chip
+    # convergence (PCG 37 @ eps used there, CGS 68) so run-to-run work is
+    # identical.
+    from liblcg_tpu.ops.pallas_cg import (
+        pallas_cgs_dia,
+        pallas_pcg_dia,
+        pallas_pcg_dia_batched,
+    )
+
+    invd = jnp.asarray(lcg.JacobiPreconditioner(A).inv_diag, jnp.float32)
+
+    def one_pcg(b):
+        x, _, _ = pallas_pcg_dia(A.offsets, A.diag_vals, invd, b,
+                                 jnp.zeros_like(b), n=sys_.n, eps=0.0,
+                                 max_iter=37)
+        return x
+
+    try:
+        dev_p, _ = _slope(one_pcg, b, K=256)
+        if dev_p is not None:
+            out["pcg_device_us"] = dev_p * 1e6
+    except Exception:
+        pass
+
+    def one_cgs(b):
+        x, _, _ = pallas_cgs_dia(A.offsets, A.diag_vals, b,
+                                 jnp.zeros_like(b), n=sys_.n, eps=0.0,
+                                 max_iter=68)
+        return x
+
+    try:
+        dev_c, _ = _slope(one_cgs, b, K=128)
+        if dev_c is not None:
+            out["cgs_device_us"] = dev_c * 1e6
+    except Exception:
+        pass
+
+    def one_pcg_b(B):
+        X, _, _ = pallas_pcg_dia_batched(
+            A.offsets, A.diag_vals, invd, B, X0, n=sys_.n, nrhs=nrhs,
+            eps=0.0, max_iter=37)
+        return X[:, 0]
+
+    try:
+        with jax.enable_x64(False):
+            dev_pb, _ = _slope(one_pcg_b, B, K=32)
+        if dev_pb is not None:
+            out["batched_pcg_us_per_solve"] = dev_pb * 1e6 / nrhs
+    except Exception:
+        pass
+    return out
+
+
+def bench_icpcg():
+    """IC(0)-PCG on case_10K through the blocked MXU triangular apply —
+    the reference's sample8 workload (csric02 + csrsv2,
+    /root/reference/src/sample/sample8.cu:112-118,216-236).  Records the
+    convergent iteration count and the fixed-work device slope; the
+    level-scheduled comparison lives in profiling/probe_r3_icpcg.json
+    (2556 us/iter — 20x slower; not re-measured every bench)."""
+    import liblcg_tpu as lcg
+    from liblcg_tpu.precond.incomplete import incomplete_cholesky_coo
+    from liblcg_tpu.solvers import real as _real
+    from liblcg_tpu.utils import io
+
+    path = f"{REFERENCE_DATA}/case_10K_A"
+    if not os.path.exists(path):
+        return None
+    sys_ = io.read_system(path)
+    n = sys_.n
+    A = lcg.make_sparse_operator(n, n, sys_.rows, sys_.cols, sys_.vals,
+                                 dtype=jnp.float32)
+    b = jnp.asarray(sys_.b, jnp.float32)
+    fac = incomplete_cholesky_coo(n, sys_.rows, sys_.cols, sys_.vals)
+    M = fac.preconditioner(mode="blocked", dtype=jnp.float32)
+
+    res = lcg.solve(A, b, method="pcg", M=M,
+                    params=lcg.SolverParams(epsilon=1e-11), pallas="never")
+    np.asarray(res.x[:4])
+    iters = max(int(res.iterations), 1)
+
+    fixed = lcg.SolverParams(epsilon=1e-30, max_iterations=iters)
+
+    def one(b):
+        return _real.pcg(A, b, M=M, params=fixed)["x"]
+
+    # The blocked apply is ~130 us/iter; K=64 lifts the chain far above
+    # tunnel jitter (K=8 measured negative slopes).
+    dev, wall = _slope(one, b, K=64)
+    out = {"iterations": iters, "converged": bool(res.converged),
+           "wall_ms": wall * 1e3}
+    if dev is not None:
+        out["device_ms"] = dev * 1e3
+        out["device_us_per_iter"] = dev * 1e6 / iters
+    return out
+
+
+def bench_mixed_precision():
+    """Mixed-precision evidence (BASELINE.md north star): CG on the 128^3
+    Laplacian to the same tolerance under f32, f32 storage + f64 dot
+    accumulation (``SolverParams.reduce_dtype``), and f64 — iterations,
+    certified convergence, and the fixed-100-iteration device slope.  The
+    reference's only mixed-precision story is a separate float-complex
+    copy of the library (clcg_cudaf.*); here it is one dtype-polymorphic
+    engine plus an accumulation knob."""
+    import liblcg_tpu as lcg
+    from liblcg_tpu.solvers import real as _real
+
+    grid = GRID
+    n = grid ** 3
+    A32 = lcg.Laplacian3DOperator(grid, grid, grid, dtype=jnp.float32)
+    A64 = lcg.Laplacian3DOperator(grid, grid, grid, dtype=jnp.float64)
+    # Squared-norm relative metric (lcg.cpp:208-209): 1e-12 means
+    # ||r||/||b|| ~ 1e-6 — near the f32 certification floor, reachable
+    # with f64-accumulated dots.
+    eps = 1e-12
+    cap = 1200
+    out = {}
+    configs = (
+        ("f32", A32, jnp.float32, None),
+        ("f32_f64reduce", A32, jnp.float32, "float64"),
+        ("f64", A64, jnp.float64, None),
+    )
+    for name, A, dt, rd in configs:
+        b = jnp.ones((n,), dt)
+        params = lcg.SolverParams(epsilon=eps, max_iterations=cap,
+                                  reduce_dtype=rd)
+        res = lcg.solve(A, b, method="cg", params=params)
+        np.asarray(res.x[:4])
+        out[name] = {"iterations": int(res.iterations),
+                     "converged": bool(res.converged),
+                     "residual": float(res.residual)}
+
+    # Device cost of the f64-accumulated variant (f32/f64 slopes are the
+    # lap32/lap64 workloads); fixed 100 iterations like the headline.
+    fixed = lcg.SolverParams(epsilon=1e-30, max_iterations=LAP_ITERS,
+                             reduce_dtype="float64")
+
+    def one(b):
+        return _real.cg(A32, b, params=fixed)["x"]
+
+    dev, wall = _slope(one, jnp.ones((n,), jnp.float32), K=16)
+    if dev is not None:
+        out["f32_f64reduce"]["device_ms_100iter"] = dev * 1e3
     return out
 
 
@@ -279,15 +427,55 @@ def bench_complex_banded():
             "ok": bool(res.converged and err < 1e-6)}
 
 
+def bench_complex1k():
+    """Scattered-complex decision workload (VERDICT r2 #7): the shipped
+    case_1K complex system on-chip through the realified scan-DIA form.
+    Best method found: Jacobi-preconditioned CGNR (CG on A^H A with
+    diag(A^H A) Jacobi — 200 iterations vs plain CGNR's 291; GMRES(128)/
+    BiCGSTAB/CGS all fail on this system's realified spectrum).  The
+    capability matched is the whole clcg_cuda.cu complex-on-accelerator
+    stack; this backend has no complex dtypes (CLAUDE.md)."""
+    import liblcg_tpu as lcg
+    from liblcg_tpu.utils import io
+
+    path = f"{REFERENCE_DATA}/case_1K_cA"
+    if not os.path.exists(path):
+        return None
+    sys_ = io.read_system(path, complex_values=True)
+    answer = io.read_answer(f"{REFERENCE_DATA}/case_1K_cB",
+                            complex_values=True)
+    n = sys_.n
+    r2, c2, v2 = lcg.realify_coo(sys_.rows, sys_.cols, sys_.vals)
+    A2 = lcg.make_sparse_operator(2 * n, 2 * n, r2, c2, v2, format="dia")
+    b2 = jnp.asarray(lcg.split_complex_interleaved(sys_.b))
+    NE = lcg.NormalEqOperator(A2)
+    rhs = A2.rmv(b2)
+    params = lcg.SolverParams(epsilon=1e-16)
+    M = lcg.JacobiPreconditioner(NE)
+
+    res = lcg.solve(NE, rhs, method="pcg", M=M, params=params)
+    np.asarray(res.x[:4])
+    x = lcg.merge_complex_interleaved(np.asarray(res.x))
+    err = float(np.max(np.abs(x - answer)))
+    best = _best(lambda: lcg.solve(NE, rhs, method="pcg", M=M, params=params),
+                 reps=3, sync=lambda r: np.asarray(r.x[:4]))
+    return {"wall_ms": best * 1e3, "iterations": int(res.iterations),
+            "method": "jacobi-cgnr", "ok": bool(res.converged and err < 1e-6)}
+
+
 #: Workload registry: name -> zero-arg callable (run with x64 enabled).
+#: Order is the subprocess priority order under the time budget.
 #: K=16 for lap32: the f32 per-solve time (~3 ms) must dominate run-to-run
 #: dispatch jitter (~±3 ms) for a clean slope.
 WORKLOADS = {
     "lap64": lambda: bench_laplacian(jnp.float64),
     "case10k": bench_case10k,
     "pallas": bench_case10k_pallas,
+    "icpcg": bench_icpcg,
+    "mixed": bench_mixed_precision,
     "lap256": lambda: bench_laplacian(jnp.float32, grid=256),
     "complex": bench_complex_banded,
+    "complex1k": bench_complex1k,
     "lap32": lambda: bench_laplacian(jnp.float32, K=16),
 }
 
@@ -327,10 +515,25 @@ def _save_history(results: dict) -> None:
 
 
 def _subprocess_env() -> dict:
+    """Workload-subprocess environment: package on PYTHONPATH (appended,
+    never clobbered — the inherited value carries the backend's
+    sitecustomize dir) plus the persistent XLA compilation cache.
+
+    The cache is the compile-stall defence that actually removes the
+    risk instead of bounding it: the remote compile service has
+    multi-hour waves where any NEW compile stalls 4-8+ minutes, but a
+    cached executable loads in ~0.3 s (measured: 11.5 s cold / 0.30 s
+    warm across processes).  After one warm run of the suite, a capture
+    during a stall wave still measures everything fresh."""
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return {**os.environ,
-            "PYTHONPATH": pkg_parent + os.pathsep +
-            os.environ.get("PYTHONPATH", "")}
+    env = {**os.environ,
+           "PYTHONPATH": pkg_parent + os.pathsep +
+           os.environ.get("PYTHONPATH", "")}
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(pkg_parent, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    return env
 
 
 def _run_one(name: str, timeout_s: float, env: dict):
@@ -376,7 +579,8 @@ def _run_all_isolated(budget_s: float):
             stalled.add(name)   # budget loss == environmental, not a bug
             continue
         _note(name)
-        res, was_stall = _run_one(name, min(left - 15, 360), env)
+        cap = float(os.environ.get("LIBLCG_BENCH_WORKLOAD_CAP_S", "360"))
+        res, was_stall = _run_one(name, min(left - 15, cap), env)
         if res is not None:
             results[name] = res
         elif was_stall:
@@ -453,6 +657,9 @@ def main():
     lap256 = _valid(r.get("lap256"), "wall_ms")
     cplx = _valid(r.get("complex"), "wall_ms", "iterations", "ok")
     lap32 = _valid(r.get("lap32"), "wall_ms")
+    icpcg = _valid(r.get("icpcg"), "iterations", "converged")
+    mixed = _valid(r.get("mixed"), "f32", "f32_f64reduce", "f64")
+    cplx1k = _valid(r.get("complex1k"), "wall_ms", "iterations", "ok")
     _note("done")
 
     baseline = _baseline()
@@ -517,6 +724,32 @@ def main():
                 out["case10k_pallas_batched_vs_baseline"] = round(
                     c10k_base * 1e3 / max(bus, 1e-9), 0
                 )
+        for src, dst in (("pcg_device_us", "case10k_pallas_pcg_device_us"),
+                         ("cgs_device_us", "case10k_pallas_cgs_device_us"),
+                         ("batched_pcg_us_per_solve",
+                          "case10k_pallas_batched_pcg_us_per_solve")):
+            if src in c10k_pallas:
+                out[dst] = round(c10k_pallas[src], 1)
+    if icpcg is not None:
+        out["case10k_icpcg_iterations"] = icpcg["iterations"]
+        out["case10k_icpcg_converged"] = icpcg["converged"]
+        if "device_ms" in icpcg:
+            out["case10k_icpcg_device_ms"] = round(icpcg["device_ms"], 2)
+            out["case10k_icpcg_us_per_iter"] = round(
+                icpcg["device_us_per_iter"], 1
+            )
+    if mixed is not None:
+        for k in ("f32", "f32_f64reduce", "f64"):
+            out[f"lap_{k}_iters_to_eps"] = mixed[k]["iterations"]
+            out[f"lap_{k}_certified"] = mixed[k]["converged"]
+        dm = mixed["f32_f64reduce"].get("device_ms_100iter")
+        if dm is not None:
+            out["lap_f32_f64reduce_device_ms"] = round(dm, 1)
+    if cplx1k is not None:
+        out["complex1k_method"] = cplx1k.get("method", "jacobi-cgnr")
+        out["complex1k_wall_ms"] = round(cplx1k["wall_ms"], 2)
+        out["complex1k_iterations"] = cplx1k["iterations"]
+        out["complex1k_ok"] = cplx1k["ok"]
     if stale:
         out["stale_fields_from_prior_run"] = stale
     print(json.dumps(out))

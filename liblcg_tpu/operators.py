@@ -109,6 +109,10 @@ class DenseOperator(LinearOperator):
     def diagonal(self):
         return jnp.diagonal(self.A)
 
+    def col_sq_norms(self):
+        """``diag(A^H A)``: per-column sum of |A_ij|^2."""
+        return jnp.sum(jnp.abs(self.A) ** 2, axis=0)
+
 
 def _dense_flatten(op):
     return (op.A,), None
@@ -198,6 +202,17 @@ class SparseOperator(LinearOperator):
     def diagonal(self):
         return self._diag
 
+    def col_sq_norms(self):
+        """``diag(A^H A)``: per-column sum of |A_ij|^2 (padding entries are
+        zero-valued and contribute nothing)."""
+        import jax
+
+        v = jnp.abs(self.ell_vals) ** 2
+        return jax.ops.segment_sum(
+            v.ravel(), self.ell_cols.ravel().astype(jnp.int32),
+            num_segments=self.shape[1],
+        )
+
     @classmethod
     def from_dense(cls, A, **kw):
         A = np.asarray(A)
@@ -270,6 +285,22 @@ class BandedOperator(LinearOperator):
         if 0 in self.offsets:
             return self.diag_vals[self.offsets.index(0)]
         return jnp.zeros((self.shape[0],), dtype=self.dtype)
+
+    def col_sq_norms(self):
+        """``diag(A^H A)``: per-column sum of |A_ij|^2, as statically
+        shifted adds of each squared diagonal (gather-free, like
+        :func:`dia_spmv`)."""
+        n_rows, n_cols = self.shape
+        out = jnp.zeros((n_cols,), jnp.result_type(jnp.abs(self.diag_vals)))
+        for d, o in enumerate(self.offsets):
+            # diag_vals[d, i] = A[i, i+o] -> contributes to column j = i+o.
+            i_lo = max(0, -o)
+            i_hi = min(n_rows, n_cols - o)
+            if i_hi <= i_lo:
+                continue
+            v = jnp.abs(self.diag_vals[d, i_lo:i_hi]) ** 2
+            out = out.at[i_lo + o : i_hi + o].add(v)
+        return out
 
     @property
     def n_diagonals(self) -> int:
@@ -401,6 +432,20 @@ class NormalEqOperator(LinearOperator):
 
     def hmv(self, x):
         return self.mv(x)
+
+    def diagonal(self):
+        """``diag(A^H A)`` — the per-column squared norms of the inner
+        operator, so ``JacobiPreconditioner(NormalEqOperator(A))`` gives
+        Jacobi-CGNR out of the box (measured: 200 vs 291 iterations on
+        the realified case_1K, profiling/probe_r3 series)."""
+        f = getattr(self.inner, "col_sq_norms", None)
+        if f is None:
+            raise NotImplementedError(
+                f"{type(self.inner).__name__} does not expose col_sq_norms; "
+                "Jacobi on the normal equations needs explicit storage "
+                "(SparseOperator/BandedOperator/DenseOperator)"
+            )
+        return f()
 
 
 def _ne_flatten(op):

@@ -23,6 +23,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache (shared with bench.py's .jax_cache): CPU-backend
+# entries key separately from the TPU ones, and repeat suite runs skip
+# recompiling the unchanged solver graphs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
 
 import numpy as np
 import pytest

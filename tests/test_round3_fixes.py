@@ -138,3 +138,63 @@ def test_batched_pcg_auto_route_cpu_falls_back():
                                atol=2e-4)
     np.testing.assert_array_equal(np.asarray(r_kern.iterations),
                                   np.asarray(r_auto.iterations))
+
+
+# ---- Jacobi-CGNR: NormalEqOperator.diagonal() via col_sq_norms --------------
+
+
+def test_col_sq_norms_matches_dense():
+    rng = np.random.default_rng(9)
+    A = np.where(rng.uniform(size=(20, 20)) < 0.3,
+                 rng.normal(size=(20, 20)), 0.0)
+    np.fill_diagonal(A, 3.0)
+    rows, cols = np.nonzero(A)
+    ref = np.sum(np.abs(A) ** 2, axis=0)
+    ops = [lcg.DenseOperator(A),
+           lcg.SparseOperator(20, 20, rows, cols, A[rows, cols]),
+           lcg.BandedOperator(20, 20, rows, cols, A[rows, cols])]
+    for op in ops:
+        np.testing.assert_allclose(np.asarray(op.col_sq_norms()), ref,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(lcg.NormalEqOperator(op).diagonal()), ref, rtol=1e-12)
+
+
+def test_jacobi_cgnr_beats_plain_cgnr_on_case1k():
+    """The recorded scattered-complex recipe (bench complex1k): Jacobi on
+    the normal equations cuts CGNR iterations ~30% on the shipped complex
+    case (200 vs 291) at the same accuracy."""
+    import os
+
+    path = "/root/reference/data/case_1K_cA"
+    if not os.path.exists(path):
+        pytest.skip("reference data not present")
+    from liblcg_tpu.utils import io
+
+    s = io.read_system(path, complex_values=True)
+    ans = io.read_answer("/root/reference/data/case_1K_cB",
+                         complex_values=True)
+    n = s.n
+    r2, c2, v2 = lcg.realify_coo(s.rows, s.cols, s.vals)
+    # ELL here: the recipe under test is the preconditioner (iteration
+    # count), not the storage format — the chip path's scan-DIA form is
+    # ~30x slower on CPU and is exercised by the bench/dryrun instead.
+    A2 = lcg.make_sparse_operator(2 * n, 2 * n, r2, c2, v2, format="ell")
+    b2 = jnp.asarray(lcg.split_complex_interleaved(s.b))
+    NE = lcg.NormalEqOperator(A2)
+    rhs = A2.rmv(b2)
+    params = lcg.SolverParams(epsilon=1e-16)
+
+    plain = lcg.solve(NE, rhs, method="cg", params=params)
+    pc = lcg.solve(NE, rhs, method="pcg", M=lcg.JacobiPreconditioner(NE),
+                   params=params)
+    assert bool(plain.converged) and bool(pc.converged)
+    assert int(pc.iterations) < int(plain.iterations) - 50
+    x = lcg.merge_complex_interleaved(np.asarray(pc.x))
+    assert float(np.max(np.abs(x - ans))) < 1e-6
+
+
+def test_normal_eq_diagonal_raises_for_matrix_free():
+    op = lcg.MatrixFreeOperator(lambda v: v, n=8, dtype=jnp.float64)
+    with pytest.raises(NotImplementedError, match="col_sq_norms"):
+        lcg.NormalEqOperator(op).diagonal()
