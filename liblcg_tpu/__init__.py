@@ -68,6 +68,7 @@ from .solve import (
     solve,
     solve_batched,
 )
+from .solvers.refine import solve_refined
 from .precond import (
     ChebyshevPreconditioner,
     JacobiPreconditioner,
@@ -118,6 +119,7 @@ __all__ = [
     "ProductOperator",
     "aslinearoperator",
     "solve",
+    "solve_refined",
     "solve_batched",
     "BATCHED_METHODS",
     "lcg_solver",

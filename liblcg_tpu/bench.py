@@ -388,6 +388,46 @@ def bench_mixed_precision():
     dev, wall = _slope(one, jnp.ones((n,), jnp.float32), K=16)
     if dev is not None:
         out["f32_f64reduce"]["device_ms_100iter"] = dev * 1e3
+
+    # Iterative refinement (solvers/refine.py): full f64-class residual
+    # (eps 1e-24 squared ~ rel 1e-12) from f32 inner solves + f64
+    # correction, against pure-f64 CG at the same epsilon.  f64 is ~12x
+    # f32 on this chip, so IR is the mitigation that actually reaches
+    # f64 accuracy (reduce_dtype only hardens certification).
+    eps_ir = 1e-24
+    cap64 = 2500
+    b64 = jnp.ones((n,), jnp.float64)
+    p_ir = lcg.SolverParams(epsilon=eps_ir)
+    r_ir = lcg.solve_refined(A64, b64, params=p_ir, trace_len=8)
+    np.asarray(r_ir.x[:4])
+    tr = np.asarray(r_ir.trace)
+    out["ir"] = {"inner_iterations": int(r_ir.iterations),
+                 "refinements": int(np.count_nonzero(tr)),
+                 "converged": bool(r_ir.converged),
+                 "residual": float(r_ir.residual)}
+    r64 = lcg.solve(A64, b64, method="cg",
+                    params=lcg.SolverParams(epsilon=eps_ir,
+                                            max_iterations=cap64))
+    np.asarray(r64.x[:4])
+    out["f64_deep"] = {"iterations": int(r64.iterations),
+                       "converged": bool(r64.converged)}
+
+    def one_ir(b):
+        return lcg.solve_refined(A64, b, params=p_ir).x
+
+    dev_ir, _ = _slope(one_ir, b64, K=8)
+    if dev_ir is not None:
+        out["ir"]["device_ms"] = dev_ir * 1e3
+
+    p64_fixed = lcg.SolverParams(epsilon=1e-30,
+                                 max_iterations=max(int(r64.iterations), 1))
+
+    def one_64(b):
+        return _real.cg(A64, b, params=p64_fixed)["x"]
+
+    dev_64, _ = _slope(one_64, b64, K=4)
+    if dev_64 is not None:
+        out["f64_deep"]["device_ms"] = dev_64 * 1e3
     return out
 
 
@@ -745,6 +785,18 @@ def main():
         dm = mixed["f32_f64reduce"].get("device_ms_100iter")
         if dm is not None:
             out["lap_f32_f64reduce_device_ms"] = round(dm, 1)
+        ir = mixed.get("ir")
+        deep = mixed.get("f64_deep")
+        if ir is not None:
+            out["lap_ir_inner_iters"] = ir["inner_iterations"]
+            out["lap_ir_refinements"] = ir["refinements"]
+            out["lap_ir_certified"] = ir["converged"]
+            if "device_ms" in ir:
+                out["lap_ir_device_ms"] = round(ir["device_ms"], 1)
+            if deep is not None and "device_ms" in deep and "device_ms" in ir:
+                out["lap_f64_same_eps_device_ms"] = round(deep["device_ms"], 1)
+                out["lap_ir_speedup_vs_f64"] = round(
+                    deep["device_ms"] / max(ir["device_ms"], 1e-9), 1)
     if cplx1k is not None:
         out["complex1k_method"] = cplx1k.get("method", "jacobi-cgnr")
         out["complex1k_wall_ms"] = round(cplx1k["wall_ms"], 2)

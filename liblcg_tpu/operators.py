@@ -72,6 +72,17 @@ class LinearOperator:
         """diag(A), used by the Jacobi preconditioner.  Optional."""
         raise NotImplementedError(f"{type(self).__name__} has no diagonal()")
 
+    def astype(self, dtype) -> "LinearOperator":
+        """The same operator with its values cast to ``dtype`` — the hook
+        :func:`liblcg_tpu.solve_refined` uses to build the low-precision
+        inner operator for mixed-precision iterative refinement.  Concrete
+        storage classes override this with a cheap leaf cast."""
+        raise NotImplementedError(
+            f"{type(self).__name__} cannot be cast to another dtype "
+            "automatically; construct the operator at the target dtype "
+            "(or pass A_low= to solve_refined)"
+        )
+
     # -- sugar --------------------------------------------------------------
     def __matmul__(self, x):
         return self.mv(x)
@@ -112,6 +123,9 @@ class DenseOperator(LinearOperator):
     def col_sq_norms(self):
         """``diag(A^H A)``: per-column sum of |A_ij|^2."""
         return jnp.sum(jnp.abs(self.A) ** 2, axis=0)
+
+    def astype(self, dtype):
+        return DenseOperator(self.A.astype(dtype))
 
 
 def _dense_flatten(op):
@@ -213,6 +227,22 @@ class SparseOperator(LinearOperator):
             num_segments=self.shape[1],
         )
 
+    def astype(self, dtype):
+        """Cheap leaf cast: the ELL column maps are dtype-independent."""
+        obj = object.__new__(SparseOperator)
+        obj.ell_cols = self.ell_cols
+        obj.ell_vals = self.ell_vals.astype(dtype)
+        obj.ell_cols_t = self.ell_cols_t
+        obj.ell_vals_t = (obj.ell_vals if self.assume_symmetric
+                          else self.ell_vals_t.astype(dtype))
+        obj._diag = self._diag.astype(dtype)
+        obj.shape = self.shape
+        obj.dtype = jnp.dtype(dtype)
+        obj.assume_symmetric = self.assume_symmetric
+        obj.n_padded = self.n_padded
+        obj.nnz = self.nnz
+        return obj
+
     @classmethod
     def from_dense(cls, A, **kw):
         A = np.asarray(A)
@@ -301,6 +331,16 @@ class BandedOperator(LinearOperator):
             v = jnp.abs(self.diag_vals[d, i_lo:i_hi]) ** 2
             out = out.at[i_lo + o : i_hi + o].add(v)
         return out
+
+    def astype(self, dtype):
+        """Cheap leaf cast: diagonal offsets are dtype-independent."""
+        obj = object.__new__(BandedOperator)
+        obj.diag_vals = self.diag_vals.astype(dtype)
+        obj.offsets = self.offsets
+        obj.shape = self.shape
+        obj.dtype = jnp.dtype(dtype)
+        obj.nnz = self.nnz
+        return obj
 
     @property
     def n_diagonals(self) -> int:
@@ -447,6 +487,9 @@ class NormalEqOperator(LinearOperator):
             )
         return f()
 
+    def astype(self, dtype):
+        return NormalEqOperator(self.inner.astype(dtype))
+
 
 def _ne_flatten(op):
     return (op.inner,), None
@@ -492,6 +535,14 @@ class ScaledOperator(LinearOperator):
     def diagonal(self):
         return self.alpha * self.inner.diagonal()
 
+    def astype(self, dtype):
+        real_dt = jnp.dtype(dtype)
+        alpha = (self.alpha.real.astype(real_dt)
+                 if not jnp.issubdtype(real_dt, jnp.complexfloating)
+                 and jnp.issubdtype(self.alpha.dtype, jnp.complexfloating)
+                 else self.alpha.astype(dtype))
+        return ScaledOperator(alpha, self.inner.astype(dtype))
+
 
 def _scaled_flatten(op):
     return (op.alpha, op.inner), None
@@ -536,6 +587,9 @@ class SumOperator(LinearOperator):
     def diagonal(self):
         return self.a.diagonal() + self.b.diagonal()
 
+    def astype(self, dtype):
+        return SumOperator(self.a.astype(dtype), self.b.astype(dtype))
+
 
 def _sum_flatten(op):
     return (op.a, op.b), None
@@ -576,6 +630,9 @@ class ProductOperator(LinearOperator):
 
     def hmv(self, x):
         return self.b.hmv(self.a.hmv(x))
+
+    def astype(self, dtype):
+        return ProductOperator(self.a.astype(dtype), self.b.astype(dtype))
 
 
 def _prod_flatten(op):
@@ -670,6 +727,17 @@ class RealifiedOperator(LinearOperator):
     def diagonal(self):
         d = self.re.diagonal()
         return jnp.concatenate([d, d])
+
+    def astype(self, dtype):
+        if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+            raise ValueError("a realified operator is real-valued")
+        obj = object.__new__(RealifiedOperator)
+        obj.re = self.re.astype(dtype)
+        obj.im = self.im.astype(dtype)
+        obj._n = self._n
+        obj.shape = self.shape
+        obj.dtype = jnp.dtype(dtype)
+        return obj
 
 
 def _realified_flatten(op):

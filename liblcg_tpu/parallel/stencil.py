@@ -67,6 +67,10 @@ class Laplacian3DOperator(LinearOperator):
     def diagonal(self):
         return jnp.full((self.shape[0],), 6.0, dtype=self.dtype)
 
+    def astype(self, dtype):
+        nz, ny, nx = self.grid
+        return Laplacian3DOperator(nz, ny, nx, dtype=dtype)
+
 
 def _lap_flatten(op):
     return (), (op.grid, str(op.dtype))
@@ -269,6 +273,16 @@ class Stencil3DOperator(LinearOperator):
 
     def diagonal(self):
         return self.c0
+
+    def astype(self, dtype):
+        obj = object.__new__(Stencil3DOperator)
+        obj.grid = self.grid
+        obj.shape = self.shape
+        for name in ("c0", "cxm", "cxp", "cym", "cyp", "czm", "czp"):
+            setattr(obj, name, getattr(self, name).astype(dtype))
+        obj.dtype = obj.c0.dtype
+        obj.nnz = self.nnz
+        return obj
 
     @classmethod
     def diffusion(cls, kappa, *, dtype=None):

@@ -49,6 +49,13 @@ class JacobiPreconditioner(LinearOperator):
     def diagonal(self):
         return self.inv_diag
 
+    def astype(self, dtype):
+        obj = object.__new__(JacobiPreconditioner)
+        obj.inv_diag = self.inv_diag.astype(dtype)
+        obj.shape = self.shape
+        obj.dtype = obj.inv_diag.dtype
+        return obj
+
 
 def _jac_flatten(op):
     return (op.inv_diag,), None

@@ -1,0 +1,341 @@
+"""Mixed-precision iterative refinement: f64-accurate solves at ~f32 speed.
+
+The reference's only mixed-precision story is a line-for-line float copy of
+the complex library (``src/lib/clcg_cudaf.h/.cu`` — same algorithms, float
+storage, no way back to double accuracy).  On TPU v5e the trade is far
+more lopsided: f64 is software-emulated at ~12x the cost of f32
+(PERFORMANCE.md), so "just run in double" forfeits an order of magnitude.
+The TPU-native answer is classical iterative refinement (Wilkinson; the
+same loop behind modern GPU mixed-precision solvers):
+
+    repeat:  r = b - A x          (working precision, e.g. f64)
+             solve  A_lo d = r    (fast precision, e.g. f32 — any engine,
+                                   including the whole-solve VMEM Pallas
+                                   kernels)
+             x = x + d
+
+Each refinement contracts the error by roughly the inner solve's relative
+accuracy, so a handful of f32 solves + one f64 matvec each reaches full
+f64 residual levels whenever cond(A) is comfortably below 1/eps_f32 —
+while the heavy per-iteration work (SpMV, dots, axpys) all runs at f32
+throughput.  The whole loop — outer refinement ``lax.while_loop``, inner
+engine ``lax.while_loop`` — compiles into ONE XLA program: zero host
+round-trips, one dispatch.
+
+Stopping semantics mirror the library's reference-exact metric
+(``lcg.cpp:186-209``): relative ``||r||^2 / max(||x||^2, 1)`` or
+``abs_diff`` ``sqrt(||r||^2)/n``, evaluated in the working precision.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..operators import BandedOperator, LinearOperator, aslinearoperator
+from ..types import DEFAULT_PARAMS, SolverParams, SolveResult, Status
+from . import harness as H
+from . import real as _real
+
+#: Inner engines eligible for refinement: unconstrained real-domain
+#: methods (bounds-projected PG/SPG iterates are not linear corrections).
+_INNER_ENGINES = {
+    "cg": (_real.cg, False),
+    "pcg": (_real.pcg, True),
+    "cg_fused": (_real.cg_fused, False),
+    "cg_pipelined": (_real.cg_pipelined, False),
+    "pcg_pipelined": (_real.pcg_pipelined, True),
+    "cgs": (_real.cgs, False),
+    "bicgstab": (_real.bicgstab, False),
+    "bicgstab2": (_real.bicgstab2, False),
+}
+
+_JIT_CACHE: dict = {}
+
+
+def _default_inner_params(outer: SolverParams, lo: jnp.dtype) -> SolverParams:
+    """Inner tolerance: push each correction to (near) the fast dtype's
+    certification floor.  The metric is a *squared*-norm ratio, so the f32
+    floor sits around eps_f32^2 ~ 1.4e-14; 1e-12 converges reliably and
+    each refinement then contracts the true residual by ~1e-6."""
+    eps = 1e-12 if jnp.finfo(lo).bits <= 32 else 1e-24
+    return SolverParams(
+        epsilon=eps,
+        max_iterations=outer.max_iterations,
+        abs_diff=False,
+    )
+
+
+def _pallas_eligible(A_low, m: str, M_low, inner_params: SolverParams,
+                     pallas: str) -> bool:
+    """Trace-time routing mirror of ``solve.py:_try_pallas_cg``: send the
+    inner correction solves to the whole-solve VMEM kernel when legal."""
+    if pallas == "never" or m not in ("cg", "pcg", "cgs"):
+        return False
+    if not isinstance(A_low, BandedOperator):
+        if pallas == "always":
+            raise ValueError("pallas='always' but A_low is not a "
+                             "BandedOperator (DIA)")
+        return False
+    if jnp.dtype(A_low.dtype) != jnp.float32:
+        if pallas == "always":
+            raise ValueError("pallas='always' but the inner dtype is not "
+                             "float32 (Mosaic has no f64)")
+        return False
+    if m == "pcg" and getattr(M_low, "inv_diag", None) is None:
+        if pallas == "always":
+            raise ValueError("pallas='always' but the pcg kernel needs a "
+                             "diagonal preconditioner (JacobiPreconditioner)")
+        return False
+    from ..ops.pallas_cg import fits_in_vmem
+
+    if not fits_in_vmem(A_low.shape[0], A_low.n_diagonals):
+        if pallas == "always":
+            raise ValueError(f"pallas='always' but state for "
+                             f"n={A_low.shape[0]} exceeds the VMEM budget")
+        return False
+    if jax.default_backend() == "cpu" and pallas != "always":
+        return False  # interpreter is far slower than the XLA loop
+    return True
+
+
+def solve_refined(
+    A,
+    b,
+    x0=None,
+    *,
+    method: str = "cg",
+    M=None,
+    params: SolverParams = DEFAULT_PARAMS,
+    inner_dtype=jnp.float32,
+    inner_params: Optional[SolverParams] = None,
+    max_refinements: int = 8,
+    A_low: Optional[LinearOperator] = None,
+    M_low=None,
+    trace_len: int = 0,
+    pallas: str = "auto",
+    check: bool = False,
+) -> SolveResult:
+    """Solve ``A x = b`` to working-precision accuracy via mixed-precision
+    iterative refinement (inner solves at ``inner_dtype``).
+
+    Parameters
+    ----------
+    A : LinearOperator (or array) in the working precision (e.g. f64).
+    b : 1-D right-hand side; its dtype is the working precision.
+    method : inner engine ("cg", "pcg", "cgs", "bicgstab", ...).
+    M : preconditioner in working precision; cast to the inner dtype
+        automatically (or pass ``M_low`` explicitly).
+    params : outer stopping parameters — reference metric and epsilon
+        evaluated on the TRUE residual in working precision.
+    inner_dtype : the fast storage/compute dtype (default float32).
+    inner_params : inner engine tolerance; defaults to the fast dtype's
+        certification floor (see ``_default_inner_params``).
+    max_refinements : outer-iteration cap.
+    A_low, M_low : optional explicit low-precision operator/preconditioner
+        (required for matrix-free operators without ``astype``).
+    trace_len : if > 0, record the outer residual metric per refinement.
+    pallas : "auto" routes eligible f32 DIA inner solves to the whole-solve
+        VMEM kernel *inside* the compiled refinement loop; "never"/"always"
+        as in :func:`liblcg_tpu.solve`.
+
+    Returns
+    -------
+    SolveResult — ``iterations`` counts TOTAL inner iterations across all
+    refinements (the cost-comparable number); ``trace`` (when requested)
+    holds one outer-metric entry per refinement, so its filled length is
+    the refinement count.
+    """
+    from ..solve import canonical_method
+
+    m = canonical_method(method)
+    if m not in _INNER_ENGINES:
+        raise ValueError(
+            f"solve_refined supports the unconstrained real engines "
+            f"{sorted(_INNER_ENGINES)}; got {m!r}.  For complex systems "
+            "realify the operator first (PARITY.md decision tree)."
+        )
+    b = jnp.asarray(b)
+    if jnp.issubdtype(b.dtype, jnp.complexfloating):
+        raise ValueError(
+            "solve_refined is real-domain; realify the complex system "
+            "first (operators.realify / realify_coo)"
+        )
+    if b.ndim != 1:
+        return SolveResult(
+            x=b, status_code=jnp.asarray(
+                int(Status.INVALID_VARIABLE_SIZE), jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(jnp.nan), trace=None)
+    A = A if isinstance(A, LinearOperator) else aslinearoperator(
+        A, n=b.shape[0], dtype=b.dtype)
+
+    fn, needs_M = _INNER_ENGINES[m]
+    if M is not None and not needs_M:
+        raise ValueError(
+            f"method {m!r} does not use a preconditioner; M would be "
+            "silently ignored (use 'pcg' or drop M)")
+    if needs_M and M is None and M_low is None:
+        return SolveResult(
+            x=jnp.zeros_like(b) if x0 is None else jnp.asarray(x0),
+            status_code=jnp.asarray(
+                int(Status.NULL_PRECONDITION_MATRIX), jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(jnp.nan), trace=None)
+
+    lo = jnp.dtype(inner_dtype)
+    if A_low is None:
+        A_low = A.astype(lo)
+    if needs_M and M_low is None:
+        cast = getattr(M, "astype", None)
+        if cast is None:
+            raise ValueError(
+                f"{type(M).__name__} has no astype; pass M_low= explicitly")
+        M_low = cast(lo)
+    if inner_params is None:
+        inner_params = _default_inner_params(params, lo)
+    err = params.validate(for_method=m)
+    if err is not None:
+        return SolveResult(
+            x=jnp.zeros_like(b) if x0 is None else jnp.asarray(x0),
+            status_code=jnp.asarray(int(err), jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(jnp.nan), trace=None)
+
+    use_pallas = _pallas_eligible(A_low, m, M_low, inner_params, pallas)
+    interpret = use_pallas and jax.default_backend() == "cpu"
+
+    key = (fn, params, inner_params, int(max_refinements), int(trace_len),
+           use_pallas, interpret, str(lo), needs_M)
+    jitted = _JIT_CACHE.get(key)
+    if jitted is None:
+        jitted = jax.jit(_build_ir(
+            fn, m, params, inner_params, int(max_refinements),
+            int(trace_len), use_pallas, interpret, lo, needs_M))
+        _JIT_CACHE[key] = jitted
+
+    x0_arr = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    extras = (M_low,) if needs_M else ()
+    carry = jitted(A, A_low, b, x0_arr, *extras)
+    result = SolveResult(
+        x=carry["x"], status_code=carry["status"],
+        iterations=carry["total_t"], residual=carry["res"],
+        trace=carry.get("trace"),
+    )
+    if check:
+        from ..utils.errors import check_status
+
+        check_status(result.status_code, raise_error=True, quiet=True)
+    return result
+
+
+def _build_ir(fn, m, params, inner_params, max_refinements, trace_len,
+              use_pallas, interpret, lo, needs_M):
+    """Compile-time builder: the whole refinement loop as one XLA program."""
+
+    def run(A, A_low, b, x0, *extras):
+        M_low = extras[0] if needs_M else None
+        n = H.dim(b)
+        hi = b.dtype
+
+        def metric(r_sq, x_sq):
+            return H.real_residual(r_sq, x_sq, n, params.abs_diff)
+
+        def inner_solve(r_lo):
+            if use_pallas:
+                from ..ops.pallas_cg import (
+                    pallas_cg_dia, pallas_cgs_dia, pallas_pcg_dia)
+
+                common = dict(
+                    n=A_low.shape[0], eps=inner_params.epsilon,
+                    max_iter=inner_params.effective_max_iterations(),
+                    abs_diff=bool(inner_params.abs_diff),
+                    interpret=interpret,
+                )
+                z = jnp.zeros_like(r_lo)
+                if m == "pcg":
+                    d, t, _ = pallas_pcg_dia(
+                        A_low.offsets, A_low.diag_vals,
+                        jnp.asarray(M_low.inv_diag), r_lo, z, **common)
+                elif m == "cgs":
+                    d, t, _ = pallas_cgs_dia(
+                        A_low.offsets, A_low.diag_vals, r_lo, z, **common)
+                else:
+                    d, t, _ = pallas_cg_dia(
+                        A_low.offsets, A_low.diag_vals, r_lo, z, **common)
+                return d, t
+            kwargs = dict(params=inner_params)
+            if needs_M:
+                kwargs["M"] = M_low
+            c = fn(A_low, r_lo, None, **kwargs)
+            return c["x"], c["t"]
+
+        r0 = b - A.mv(x0)
+        res0 = metric(H.sq_norm(r0), jnp.maximum(H.sq_norm(x0), 1.0))
+        carry = dict(
+            x=x0,
+            r=r0,
+            res=res0,
+            k=jnp.asarray(0, jnp.int32),
+            total_t=jnp.asarray(0, jnp.int32),
+            stall=jnp.asarray(0, jnp.int32),
+            status=jnp.where(
+                jnp.isnan(res0), int(Status.NAN_VALUE),
+                jnp.where(res0 <= params.epsilon, int(Status.CONVERGENCE),
+                          int(Status.RUNNING))).astype(jnp.int32),
+            trace=H.init_trace(trace_len, b.real.dtype),
+        )
+
+        def cond_fn(c):
+            return c["status"] == int(Status.RUNNING)
+
+        def body_fn(c):
+            # Scale the residual to unit 2-norm before the downcast so the
+            # fast dtype's full relative precision applies at every outer
+            # residual magnitude (classical IR practice).
+            s = jnp.sqrt(H.sq_norm(c["r"]))
+            safe = jnp.where(s > 0, s, 1.0).astype(hi)
+            d_lo, t_in = inner_solve((c["r"] / safe).astype(lo))
+            x_new = c["x"] + d_lo.astype(hi) * safe
+            r_new = b - A.mv(x_new)
+            res_new = metric(H.sq_norm(r_new),
+                             jnp.maximum(H.sq_norm(x_new), 1.0))
+
+            improved = res_new < c["res"]
+            # Keep the best iterate: a stalled correction (cond(A) at the
+            # fast dtype's limit) must not damage a converged-enough x.
+            x = jnp.where(improved, x_new, c["x"])
+            r = jnp.where(improved, r_new, c["r"])
+            res = jnp.where(improved, res_new, c["res"])
+            stall = jnp.where(improved, 0, c["stall"] + 1)
+            k = c["k"] + 1
+
+            nan = jnp.isnan(res_new) | H.has_nan(d_lo)
+            status = jnp.where(
+                nan, int(Status.NAN_VALUE),
+                jnp.where(
+                    res <= params.epsilon, int(Status.CONVERGENCE),
+                    jnp.where(
+                        (k >= max_refinements) | (stall >= 2),
+                        int(Status.REACHED_MAX_ITERATIONS),
+                        int(Status.RUNNING)))).astype(jnp.int32)
+            trace = H.record_trace(c["trace"], c["k"], res_new)
+            return dict(
+                x=x, r=r, res=res, k=k,
+                total_t=c["total_t"] + t_in.astype(jnp.int32),
+                stall=stall, status=status, trace=trace,
+            )
+
+        out = lax.while_loop(cond_fn, body_fn, carry)
+        # Converged before any refinement -> the reference's
+        # ALREADY_OPTIMIZED relabel (harness.finalize semantics).
+        out["status"] = jnp.where(
+            (out["status"] == int(Status.CONVERGENCE)) & (out["k"] == 0),
+            int(Status.ALREADY_OPTIMIZED), out["status"]).astype(jnp.int32)
+        return out
+
+    return run

@@ -1,0 +1,214 @@
+"""Mixed-precision iterative refinement (solvers/refine.py).
+
+The TPU-native replacement for the reference's float-copy mixed-precision
+story (src/lib/clcg_cudaf.h/.cu): f32 inner solves + f64 residual
+correction reach full f64 accuracy at f32 throughput (f64 is ~12x f32 on
+v5e, PERFORMANCE.md).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import liblcg_tpu as lcg
+
+EPS_F64 = 1e-24  # squared-norm metric ~ rel 1e-12: beyond f32's reach
+
+
+def _lap(n=12, dtype=jnp.float64):
+    return lcg.Laplacian3DOperator(n, n, n, dtype=dtype)
+
+
+def test_ir_reaches_f64_accuracy_with_f32_inner():
+    A = _lap()
+    b = jnp.ones((A.shape[0],), jnp.float64)
+    p = lcg.SolverParams(epsilon=EPS_F64)
+    r = lcg.solve_refined(A, b, params=p, trace_len=8)
+    direct = lcg.solve(A, b, method="cg", params=p)
+    assert int(r.status_code) == int(lcg.Status.CONVERGENCE)
+    assert float(r.residual) <= EPS_F64
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(direct.x),
+                               rtol=0, atol=1e-9)
+    # An f32-only solve may drive its RECURSIVE residual below this
+    # epsilon, but its TRUE residual stagnates near the f32 rounding
+    # floor — refinement certifies the true residual in f64.
+    f32 = lcg.solve(A.astype(jnp.float32), b.astype(jnp.float32),
+                    params=lcg.SolverParams(epsilon=EPS_F64,
+                                            max_iterations=2000))
+    x32 = np.asarray(f32.x, np.float64)
+    rr32 = np.asarray(b) - np.asarray(A.mv(jnp.asarray(x32)))
+    true32 = np.sum(rr32 ** 2) / max(np.sum(x32 ** 2), 1.0)
+    assert true32 > 1e3 * EPS_F64          # f32 floor: orders above eps
+    assert float(r.residual) <= EPS_F64    # IR's residual IS the true one
+
+
+def test_ir_trace_counts_refinements():
+    A = _lap()
+    b = jnp.ones((A.shape[0],), jnp.float64)
+    r = lcg.solve_refined(A, b, params=lcg.SolverParams(epsilon=EPS_F64),
+                          trace_len=8)
+    tr = np.asarray(r.trace)
+    n_refine = int(np.count_nonzero(tr))
+    assert 2 <= n_refine <= 5
+    # outer residual contracts by ~the inner tolerance each refinement
+    assert tr[1] < tr[0] * 1e-3
+
+
+def test_ir_case10k_pcg_inner(case_10k):
+    sys_, ans = case_10k
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                 sys_.vals)
+    b = jnp.asarray(sys_.b)
+    M = lcg.JacobiPreconditioner(A)
+    r = lcg.solve_refined(A, b, method="pcg", M=M,
+                          params=lcg.SolverParams(epsilon=EPS_F64))
+    assert int(r.status_code) == int(lcg.Status.CONVERGENCE)
+    assert float(np.mean(np.abs(np.asarray(r.x) - ans))) < 1e-5
+
+
+def test_ir_pallas_interpreter_matches_xla():
+    """pallas='always' uses the interpreted VMEM kernel on CPU — same
+    refinement behavior as the XLA inner engine."""
+    import os
+    if not os.path.exists("/root/reference/data/case_10K_A"):
+        pytest.skip("reference data not present")
+    from liblcg_tpu.utils import io
+
+    s = io.read_system("/root/reference/data/case_10K_A")
+    A = lcg.make_sparse_operator(s.n, s.n, s.rows, s.cols, s.vals)
+    b = jnp.asarray(s.b)
+    p = lcg.SolverParams(epsilon=EPS_F64)
+    r_x = lcg.solve_refined(A, b, params=p, pallas="never")
+    r_p = lcg.solve_refined(A, b, params=p, pallas="always",
+                            max_refinements=4)
+    assert int(r_p.status_code) == int(lcg.Status.CONVERGENCE)
+    assert float(r_p.residual) <= EPS_F64
+    np.testing.assert_allclose(np.asarray(r_p.x), np.asarray(r_x.x),
+                               rtol=0, atol=1e-7)
+
+
+def test_ir_already_optimized():
+    A = _lap()
+    b = jnp.ones((A.shape[0],), jnp.float64)
+    x = lcg.solve(A, b, params=lcg.SolverParams(epsilon=1e-28)).x
+    r = lcg.solve_refined(A, b, x0=x, params=lcg.SolverParams(epsilon=1e-20))
+    assert int(r.status_code) == int(lcg.Status.ALREADY_OPTIMIZED)
+    assert int(r.iterations) == 0
+
+
+def test_ir_stall_or_cap_returns_best_iterate():
+    """Starved inner budget (1 iteration per refinement): the solve must
+    terminate with REACHED_MAX_ITERATIONS and return the best iterate."""
+    A = _lap()
+    b = jnp.ones((A.shape[0],), jnp.float64)
+    r = lcg.solve_refined(
+        A, b, params=lcg.SolverParams(epsilon=EPS_F64),
+        inner_params=lcg.SolverParams(epsilon=1e-12, max_iterations=1),
+        max_refinements=4)
+    assert int(r.status_code) == int(lcg.Status.REACHED_MAX_ITERATIONS)
+    assert np.isfinite(float(r.residual))
+    # best-iterate guarantee: no worse than the zero initial guess
+    r0 = float(jnp.sum(b * b) / 1.0)
+    assert float(r.residual) <= r0
+
+
+def test_ir_abs_diff_metric():
+    A = _lap()
+    n = A.shape[0]
+    b = jnp.ones((n,), jnp.float64)
+    p = lcg.SolverParams(epsilon=1e-13, abs_diff=1)  # sqrt(||r||^2)/n
+    r = lcg.solve_refined(A, b, params=p)
+    assert int(r.status_code) == int(lcg.Status.CONVERGENCE)
+    rr = np.asarray(b) - np.asarray(A.mv(r.x))
+    assert np.sqrt(np.sum(rr * rr)) / n <= 1e-13
+
+
+def test_ir_guards():
+    A = _lap()
+    b = jnp.ones((A.shape[0],), jnp.float64)
+    with pytest.raises(ValueError, match="preconditioner"):
+        lcg.solve_refined(A, b, method="cg", M=lcg.JacobiPreconditioner(A))
+    with pytest.raises(ValueError, match="unconstrained real"):
+        lcg.solve_refined(A, b, method="spg")
+    with pytest.raises(ValueError, match="real-domain"):
+        lcg.solve_refined(A, b.astype(jnp.complex128))
+    mf = lcg.MatrixFreeOperator(lambda v: 6.0 * v, n=8)
+    with pytest.raises(NotImplementedError, match="A_low"):
+        lcg.solve_refined(mf, jnp.ones(8))
+
+
+def test_ir_matrix_free_with_explicit_a_low():
+    d_hi = jnp.linspace(1.0, 3.0, 64).astype(jnp.float64)
+    mf_hi = lcg.MatrixFreeOperator(lambda v: d_hi * v, n=64)
+    mf_lo = lcg.MatrixFreeOperator(
+        lambda v: d_hi.astype(jnp.float32) * v, n=64, dtype=jnp.float32)
+    b = jnp.ones((64,), jnp.float64)
+    r = lcg.solve_refined(mf_hi, b, A_low=mf_lo,
+                          params=lcg.SolverParams(epsilon=EPS_F64))
+    assert int(r.status_code) == int(lcg.Status.CONVERGENCE)
+    np.testing.assert_allclose(np.asarray(r.x), 1.0 / np.asarray(d_hi),
+                               rtol=1e-11)
+
+
+# ---- operator astype ---------------------------------------------------------
+
+
+def _rand_coo(n=24, seed=3):
+    rng = np.random.default_rng(seed)
+    A = np.where(rng.uniform(size=(n, n)) < 0.2, rng.normal(size=(n, n)), 0.0)
+    np.fill_diagonal(A, 4.0)
+    r, c = np.nonzero(A)
+    return n, r, c, A[r, c], A
+
+
+def test_astype_concrete_operators():
+    n, r, c, v, A = _rand_coo()
+    x = np.linspace(-1, 1, n)
+    ops = [
+        lcg.DenseOperator(A),
+        lcg.SparseOperator(n, n, r, c, v),
+        lcg.BandedOperator(n, n, r, c, v),
+        lcg.Laplacian3DOperator(4, 3, 2, dtype=jnp.float64),
+        lcg.NormalEqOperator(lcg.DenseOperator(A)),
+        lcg.ScaledOperator(2.0, lcg.DenseOperator(A)),
+        lcg.SumOperator(lcg.DenseOperator(A), lcg.DenseOperator(A)),
+        lcg.ProductOperator(lcg.DenseOperator(A), lcg.DenseOperator(A)),
+    ]
+    for op in ops:
+        lo = op.astype(jnp.float32)
+        assert lo.dtype == jnp.dtype(jnp.float32), type(op).__name__
+        xx = x[: op.shape[1]]
+        hi_out = np.asarray(op.mv(jnp.asarray(xx)))
+        lo_out = np.asarray(lo.mv(jnp.asarray(xx, jnp.float32)))
+        np.testing.assert_allclose(lo_out, hi_out, rtol=2e-5, atol=2e-4)
+
+
+def test_astype_stencil_and_realified():
+    kappa = np.exp(np.random.default_rng(0).normal(size=(4, 4, 4)))
+    S = lcg.Stencil3DOperator.diffusion(kappa, dtype=np.float64)
+    S32 = S.astype(jnp.float32)
+    x = np.linspace(0, 1, S.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(S32.mv(jnp.asarray(x, jnp.float32))),
+        np.asarray(S.mv(jnp.asarray(x))), rtol=1e-5, atol=1e-5)
+
+    n, r, c, v, A = _rand_coo(seed=5)
+    Ac = A + 1j * np.triu(A, 1)
+    R = lcg.realify(lcg.DenseOperator(Ac))
+    R32 = R.astype(jnp.float32)
+    z = np.linspace(-1, 1, 2 * n)
+    np.testing.assert_allclose(
+        np.asarray(R32.mv(jnp.asarray(z, jnp.float32))),
+        np.asarray(R.mv(jnp.asarray(z))), rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="real-valued"):
+        R.astype(jnp.complex64)
+
+
+def test_astype_jacobi_preconditioner():
+    n, r, c, v, A = _rand_coo()
+    M = lcg.JacobiPreconditioner(lcg.DenseOperator(A))
+    M32 = M.astype(jnp.float32)
+    assert M32.dtype == jnp.dtype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(M32.inv_diag),
+                               np.asarray(M.inv_diag).astype(np.float32))
