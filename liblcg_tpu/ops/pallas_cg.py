@@ -45,9 +45,10 @@ _BATCHED_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 _N_VEC_BUFFERS = 10
 
 
-def fits_in_vmem(n: int, n_diags: int, dtype=jnp.float32) -> bool:
+def fits_in_vmem(n: int, n_diags: int, dtype=jnp.float32,
+                 n_vec_buffers: int = _N_VEC_BUFFERS) -> bool:
     item = jnp.dtype(dtype).itemsize
-    vecs = _N_VEC_BUFFERS * n * item
+    vecs = n_vec_buffers * n * item
     mat = n_diags * n * item
     return (vecs + mat) < 0.75 * _VMEM_LIMIT_BYTES
 
@@ -481,9 +482,10 @@ def pallas_cg_dia_batched(
 
 
 def fits_in_vmem_batched(n: int, n_diags: int, nrhs: int,
-                         dtype=jnp.float32) -> bool:
+                         dtype=jnp.float32,
+                         n_vec_buffers: int = _N_VEC_BUFFERS) -> bool:
     item = jnp.dtype(dtype).itemsize
-    vecs = _N_VEC_BUFFERS * nrhs * n * item
+    vecs = n_vec_buffers * nrhs * n * item
     mat = (n_diags + 1) * n * item         # DIA values + inv_diag
     return (vecs + mat) < 0.75 * _BATCHED_VMEM_LIMIT_BYTES
 
@@ -605,6 +607,140 @@ def pallas_cgs_dia(
     return x.reshape(n), t[0, 0], res[0, 0]
 
 
+def _bicgstab_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,
+                     vals_ref, b_ref, x0_ref,
+                     x_out, t_out, res_out,
+                     r0T_ref, pk_ref, ext_ref):
+    """Whole-solve BiCGSTAB (van der Vorst), everything VMEM-resident.
+
+    Mirrors ``solvers/real.bicgstab`` (reference ``lbicgstab``
+    lcg.cpp:629-794): two products per iteration through the shared
+    padded-image scratch — first A pk, then A sk — with
+    omega = (As.s)/(As.As) and the same stopping metric."""
+    x = x0_ref[...]
+
+    def dia_mv(v_ext):
+        acc = None
+        for i, o in enumerate(offsets):
+            term = vals_ref[i : i + 1, :] * v_ext[:, pad_l + o : pad_l + o + n]
+            acc = term if acc is None else acc + term
+        return acc
+
+    ext_ref[...] = jnp.zeros_like(ext_ref)
+    ext_ref[:, pad_l : pad_l + n] = x
+    rk = b_ref[...] - dia_mv(ext_ref[...])
+    r0T_ref[...] = rk
+    pk_ref[...] = rk
+    ext_ref[:, pad_l : pad_l + n] = rk          # image holds pk
+    rkr0T0 = jnp.sum(rk * rk)
+    rmod0 = rkr0T0
+    xmod0 = jnp.maximum(jnp.sum(x * x), 1.0)
+
+    def metric(rmod, xmod):
+        if abs_diff:
+            return jnp.sqrt(rmod) / n
+        return rmod / xmod
+
+    def cond(c):
+        x, rk, rkr0T, rmod, xmod, t = c
+        return (metric(rmod, xmod) > eps) & (t < max_iter)
+
+    def body(c):
+        x, rk, rkr0T, rmod, xmod, t = c
+        Apk = dia_mv(ext_ref[...])
+        r0T = r0T_ref[...]
+        pk = pk_ref[...]
+        AprT = jnp.sum(Apk * r0T)                # lcg.cpp:720-724
+        ak = rkr0T / AprT
+        sk = rk - ak * Apk
+        ext_ref[:, pad_l : pad_l + n] = sk
+        Ask = dia_mv(ext_ref[...])
+        Ass = jnp.sum(Ask * sk)
+        AsAs = jnp.sum(Ask * Ask)
+        wk = Ass / AsAs                          # lcg.cpp:741
+        x = x + ak * pk + wk * sk
+        rk = sk - wk * Ask
+        rkr0T1 = jnp.sum(rk * r0T)
+        betak = (ak / wk) * rkr0T1 / rkr0T       # lcg.cpp:773
+        pk = rk + betak * (pk - wk * Apk)
+        pk_ref[...] = pk
+        ext_ref[:, pad_l : pad_l + n] = pk
+        return (x, rk, rkr0T1, jnp.sum(rk * rk),
+                jnp.maximum(jnp.sum(x * x), 1.0), t + 1)
+
+    x, rk, rkr0T, rmod, xmod, t = lax.while_loop(
+        cond, body, (x, rk, rkr0T0, rmod0, xmod0, jnp.int32(0))
+    )
+    x_out[...] = x
+    t_out[0, 0] = t
+    res_out[0, 0] = metric(rmod, xmod)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "eps", "max_iter", "abs_diff", "interpret"),
+)
+def pallas_bicgstab_dia(
+    offsets: Tuple[int, ...],
+    dia_vals: jnp.ndarray,           # (n_diags, n)
+    b: jnp.ndarray,                  # (n,)
+    x0: jnp.ndarray,                 # (n,)
+    *,
+    n: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Whole-solve BiCGSTAB kernel.  Returns (x, iterations, residual).
+
+    Size eligibility: pass ``n_vec_buffers=BICGSTAB_VEC_BUFFERS`` to
+    :func:`fits_in_vmem` — this kernel holds two more n-vectors than CG
+    (the shadow residual and the direction live in scratch, plus the
+    Apk/sk/Ask transients)."""
+    pad_l = max(0, -min(offsets, default=0))
+    pad_r = max(0, max(offsets, default=0))
+    dt = jnp.float32
+    vals = dia_vals.astype(dt)
+    b2 = b.astype(dt).reshape(1, n)
+    x02 = x0.astype(dt).reshape(1, n)
+
+    kernel = functools.partial(
+        _bicgstab_kernel, offsets, pad_l, pad_r, n, float(eps), max_iter,
+        abs_diff
+    )
+    x, t, res = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dt),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dt),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n), dt),                      # shadow residual r0T
+            pltpu.VMEM((1, n), dt),                      # direction pk
+            pltpu.VMEM((1, pad_l + n + pad_r), dt),      # padded image
+        ],
+        interpret=interpret,
+    )(vals, b2, x02)
+    return x.reshape(n), t[0, 0], res[0, 0]
+
+
+#: BiCGSTAB's VMEM census: CG's 10 n-vectors plus the extra scratch
+#: direction and the second in-flight product transient.
+BICGSTAB_VEC_BUFFERS = 12
+
+
 def _pcg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
                         abs_diff,
                         vals_ref, invd_ref, b_ref, x0_ref,
@@ -673,6 +809,150 @@ def _pcg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
     x_out[...] = x
     t_out[...] = t
     res_out[...] = metric(rmod, xmod)
+
+
+#: Batched CGS carries five (nrhs, n) state planes (x, r, p, u, q) plus
+#: the shadow residual and two in-flight products — wider than batched
+#: CG/PCG's census.
+BATCHED_CGS_VEC_BUFFERS = 14
+
+
+def _cgs_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
+                        abs_diff,
+                        vals_ref, b_ref, x0_ref,
+                        x_out, t_out, res_out,
+                        r0T_ref, ext_ref):
+    """Multi-RHS CGS: the batched kernels' lockstep/per-system-freezing
+    structure with the Fokkema recurrence of ``_cgs_kernel``
+    (lcgs, lcg.cpp:437-612)."""
+    x = x0_ref[...]                                    # (R, n)
+    ext_ref[...] = jnp.zeros_like(ext_ref)
+
+    def dia_mv_of(v):
+        ext_ref[:, pad_l : pad_l + n] = v
+        ext = ext_ref[...]
+        acc = None
+        for i, o in enumerate(offsets):
+            term = vals_ref[i : i + 1, :] * ext[:, pad_l + o : pad_l + o + n]
+            acc = term if acc is None else acc + term
+        return acc
+
+    def rowsum(v):
+        return jnp.sum(v, axis=1, keepdims=True)       # (R, 1)
+
+    r0 = b_ref[...] - dia_mv_of(x)
+    r0T_ref[...] = r0
+    rkr0T0 = rowsum(r0 * r0)
+    rmod0 = rkr0T0
+    xmod0 = jnp.maximum(rowsum(x * x), 1.0)
+
+    def metric(rmod, xmod):
+        if abs_diff:
+            return jnp.sqrt(rmod) / n
+        return rmod / xmod
+
+    def alive_of(rmod, xmod, t):
+        return (metric(rmod, xmod) > eps) & (t < max_iter)
+
+    def cond(c):
+        x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
+        return jnp.any(alive_of(rmod, xmod, t))
+
+    def body(c):
+        x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
+        alive = alive_of(rmod, xmod, t)
+        apk = dia_mv_of(pk)
+        AprT = rowsum(apk * r0T_ref[...])
+        ak = rkr0T / jnp.where(AprT == 0, 1.0, AprT)
+        qk1 = uk - ak * apk
+        wk = uk + qk1
+        awk = dia_mv_of(wk)
+        x1 = jnp.where(alive, x + ak * wk, x)
+        rk1 = jnp.where(alive, rk - ak * awk, rk)
+        rkr0T1 = rowsum(rk1 * r0T_ref[...])
+        betak = rkr0T1 / jnp.where(rkr0T == 0, 1.0, rkr0T)
+        uk1 = rk1 + betak * qk1
+        pk1 = uk1 + betak * (qk1 + betak * pk)
+        pk = jnp.where(alive, pk1, pk)
+        uk = jnp.where(alive, uk1, uk)
+        qk = jnp.where(alive, qk1, qk)
+        rkr0T = jnp.where(alive, rkr0T1, rkr0T)
+        rmod = jnp.where(alive, rowsum(rk1 * rk1), rmod)
+        xmod = jnp.where(alive, jnp.maximum(rowsum(x1 * x1), 1.0), xmod)
+        return (x1, rk1, pk, uk, qk, rkr0T, rmod, xmod,
+                t + alive.astype(jnp.int32))
+
+    x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = lax.while_loop(
+        cond, body,
+        (x, r0, r0, r0, jnp.zeros_like(r0), rkr0T0, rmod0, xmod0,
+         jnp.zeros((nrhs, 1), jnp.int32)),
+    )
+    x_out[...] = x
+    t_out[...] = t
+    res_out[...] = metric(rmod, xmod)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "nrhs", "eps", "max_iter", "abs_diff",
+                     "interpret"),
+)
+def pallas_cgs_dia_batched(
+    offsets: Tuple[int, ...],
+    dia_vals: jnp.ndarray,           # (n_diags, n)
+    B: jnp.ndarray,                  # (nrhs, n)
+    X0: jnp.ndarray,                 # (nrhs, n)
+    *,
+    n: int,
+    nrhs: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Batched whole-solve CGS kernel.  Returns (X, t, res) with
+    per-system iteration counts and residuals of shape (nrhs, 1)."""
+    pad_l = max(0, -min(offsets, default=0))
+    pad_r = max(0, max(offsets, default=0))
+    dt = jnp.float32
+    vals = dia_vals.astype(dt)
+    B2 = B.astype(dt)
+    X02 = X0.astype(dt)
+
+    kernel = functools.partial(
+        _cgs_kernel_batched, offsets, pad_l, pad_r, n, nrhs, float(eps),
+        max_iter, abs_diff
+    )
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_BATCHED_VMEM_LIMIT_BYTES
+        )
+    X, t, res = pl.pallas_call(
+        kernel,
+        **kw,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrhs, n), dt),
+            jax.ShapeDtypeStruct((nrhs, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nrhs, 1), dt),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nrhs, n), dt),                   # shadow residual
+            pltpu.VMEM((nrhs, pad_l + n + pad_r), dt),   # padded image
+        ],
+        interpret=interpret,
+    )(vals, B2, X02)
+    return X, t.reshape(nrhs), res.reshape(nrhs)
 
 
 @functools.partial(

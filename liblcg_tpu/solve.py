@@ -252,14 +252,18 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
             return fail("pcg kernel needs a diagonal preconditioner "
                         "(JacobiPreconditioner)")
     from .ops.pallas_cg import (
+        BICGSTAB_VEC_BUFFERS,
         fits_in_vmem,
+        pallas_bicgstab_dia,
         pallas_cg_dia,
         pallas_cgs_dia,
         pallas_pcg_dia,
     )
 
     n = A.shape[0]
-    if not fits_in_vmem(n, A.n_diagonals):
+    census = dict(n_vec_buffers=BICGSTAB_VEC_BUFFERS) if (
+        method == "bicgstab") else {}
+    if not fits_in_vmem(n, A.n_diagonals, **census):
         return fail(f"state for n={n} exceeds the VMEM budget")
     interpret = jax.default_backend() == "cpu"
     if interpret and not required:
@@ -279,6 +283,9 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
     elif method == "cgs":
         x, t, res = pallas_cgs_dia(A.offsets, A.diag_vals, b, x0_arr,
                                    **common)
+    elif method == "bicgstab":
+        x, t, res = pallas_bicgstab_dia(A.offsets, A.diag_vals, b, x0_arr,
+                                        **common)
     else:
         x, t, res = pallas_cg_dia(A.offsets, A.diag_vals, b, x0_arr, **common)
     nan = jnp.isnan(res)
@@ -397,7 +404,8 @@ def solve(
 
     if pallas not in ("auto", "never", "always"):
         raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
-    if pallas != "never" and m in ("cg", "pcg", "cgs") and not is_complex:
+    if pallas != "never" and m in ("cg", "pcg", "cgs", "bicgstab") \
+            and not is_complex:
         result = _try_pallas_cg(A, b, x0, params, monitor, trace_len,
                                 required=pallas == "always",
                                 M=M if m == "pcg" else None,
@@ -481,14 +489,18 @@ def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required,
             return fail("pcg kernel needs a diagonal preconditioner "
                         "(JacobiPreconditioner)")
     from .ops.pallas_cg import (
+        BATCHED_CGS_VEC_BUFFERS,
         fits_in_vmem_batched,
         pallas_cg_dia_batched,
+        pallas_cgs_dia_batched,
         pallas_pcg_dia_batched,
     )
 
     n = A.shape[0]
     nrhs = B.shape[0]
-    if not fits_in_vmem_batched(n, A.n_diagonals, nrhs):
+    census = dict(n_vec_buffers=BATCHED_CGS_VEC_BUFFERS) if (
+        method == "cgs") else {}
+    if not fits_in_vmem_batched(n, A.n_diagonals, nrhs, **census):
         return fail(f"state for n={n} x {nrhs} RHS exceeds the VMEM budget")
     interpret = jax.default_backend() == "cpu"
     if interpret and not required:
@@ -508,6 +520,10 @@ def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required,
             X, t, res = pallas_pcg_dia_batched(
                 A.offsets, A.diag_vals, jnp.asarray(inv_diag), B32, X032,
                 **common,
+            )
+        elif method == "cgs":
+            X, t, res = pallas_cgs_dia_batched(
+                A.offsets, A.diag_vals, B32, X032, **common,
             )
         else:
             X, t, res = pallas_cg_dia_batched(
@@ -624,16 +640,17 @@ def solve_batched(
 
     if pallas not in ("auto", "never", "always"):
         raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
-    if pallas == "always" and m not in ("cg", "pcg"):
+    if pallas == "always" and m not in ("cg", "pcg", "cgs"):
         raise ValueError(
             f"pallas='always' but the batched VMEM kernels support "
-            f"method='cg'/'pcg' only (got {m!r})"
+            f"method='cg'/'pcg'/'cgs' only (got {m!r})"
         )
     # Batched CG and Jacobi-PCG both auto-route: chip-validated with
     # recorded runs (profiling/probe_r3_kernels.json — batched PCG matches
     # the XLA loop's per-system iteration counts exactly at 24 us/solve on
-    # case_10K x32).
-    route = m in ("cg", "pcg")
+    # case_10K x32).  Batched CGS joined in round 3
+    # (profiling/probe_r3_kernels.json round-3 refresh).
+    route = m in ("cg", "pcg", "cgs")
     if pallas != "never" and route and not is_complex:
         result = _try_pallas_cg_batched(A, B, X0_arr, params, monitor,
                                         required=pallas == "always",

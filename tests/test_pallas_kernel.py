@@ -162,7 +162,7 @@ def test_batched_kernel_always_rejects_oversize():
 def test_batched_pallas_always_rejects_unsupported_method():
     A, b, _ = _banded_f32()
     with pytest.raises(ValueError, match="cg"):
-        lcg.solve_batched(A, np.stack([b, b]), method="cgs",
+        lcg.solve_batched(A, np.stack([b, b]), method="bicgstab",
                           pallas="always")
 
 
@@ -203,3 +203,59 @@ def test_complex_cgs_never_routes_to_kernel(complex_sym_small):
     res = lcg.solve(A, b, method="cgs", params=lcg.SolverParams(epsilon=1e-20))
     assert res.converged
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
+
+
+def test_bicgstab_kernel_matches_engine(case_10k):
+    """Whole-solve BiCGSTAB kernel (round 3): interpret-mode parity with
+    the XLA engine — same iteration count and solution on case_10K."""
+    sys_, answer = case_10k
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                 sys_.vals, dtype="float32")
+    b = jnp.asarray(sys_.b, jnp.float32)
+    p = lcg.SolverParams(epsilon=1e-8)
+    r_x = lcg.solve(A, b, method="bicgstab", params=p, pallas="never")
+    r_k = lcg.solve(A, b, method="bicgstab", params=p, pallas="always")
+    assert abs(int(r_k.iterations) - int(r_x.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(r_k.x), np.asarray(r_x.x),
+                               rtol=0, atol=1e-3)
+    # eps=1e-8 on the squared metric is ~1e-4 relative residual: solution
+    # accuracy vs the golden answer is correspondingly loose in f32.
+    err = np.sqrt(np.sum((np.asarray(r_k.x, np.float64) - answer) ** 2))
+    assert err / sys_.n < 2e-3
+
+
+def test_bicgstab_kernel_vmem_census():
+    """The BiCGSTAB route sizes eligibility with its own (larger) buffer
+    census: a system that fits CG's census but not BiCGSTAB's must not
+    route to the kernel."""
+    from liblcg_tpu.ops.pallas_cg import BICGSTAB_VEC_BUFFERS
+
+    n_diags = 3
+    # Find an n between the two budgets.
+    n = 200_000
+    while fits_in_vmem(n, n_diags, n_vec_buffers=BICGSTAB_VEC_BUFFERS):
+        n += 50_000
+    assert BICGSTAB_VEC_BUFFERS > 10
+    if not fits_in_vmem(n, n_diags):
+        # shrink until CG accepts but BiCGSTAB rejects
+        while n > 0 and not fits_in_vmem(n, n_diags):
+            n -= 10_000
+    assert fits_in_vmem(n, n_diags)
+    assert not fits_in_vmem(n, n_diags, n_vec_buffers=BICGSTAB_VEC_BUFFERS)
+
+
+def test_batched_cgs_kernel_matches_engine(case_10k):
+    """Batched multi-RHS CGS kernel (round 3): per-system iteration
+    parity with the XLA batched engine on scaled case_10K copies."""
+    sys_, _ = case_10k
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                 sys_.vals, dtype="float32")
+    B = jnp.asarray(np.stack([sys_.b * (1 + 0.1 * k) for k in range(4)]),
+                    jnp.float32)
+    p = lcg.SolverParams(epsilon=1e-9)
+    r_x = lcg.solve_batched(A, B, method="cgs", params=p, pallas="never")
+    r_k = lcg.solve_batched(A, B, method="cgs", params=p, pallas="always")
+    assert np.all(np.abs(np.asarray(r_k.iterations)
+                         - np.asarray(r_x.iterations)) <= 2)
+    np.testing.assert_allclose(np.asarray(r_k.x), np.asarray(r_x.x),
+                               rtol=0, atol=1e-3)
