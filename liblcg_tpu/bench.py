@@ -294,6 +294,42 @@ def bench_case10k_pallas():
             out["batched_pcg_us_per_solve"] = dev_pb * 1e6 / nrhs
     except Exception:
         pass
+
+    # Round-3 additions: BiCGSTAB single-solve and batched CGS kernels.
+    # Fixed counts = the chip-measured convergence at eps 1e-9
+    # (profiling/probe_r3b_kernels.json: 61 and 51) — same compile keys
+    # as the validation probe, so the cache covers them.
+    from liblcg_tpu.ops.pallas_cg import (
+        pallas_bicgstab_dia,
+        pallas_cgs_dia_batched,
+    )
+
+    def one_bicg(b):
+        x, _, _ = pallas_bicgstab_dia(A.offsets, A.diag_vals, b,
+                                      jnp.zeros_like(b), n=sys_.n, eps=0.0,
+                                      max_iter=61)
+        return x
+
+    try:
+        dev_bi, _ = _slope(one_bicg, b, K=128)
+        if dev_bi is not None:
+            out["bicgstab_device_us"] = dev_bi * 1e6
+    except Exception:
+        pass
+
+    def one_cgs_b(B_):
+        X, _, _ = pallas_cgs_dia_batched(
+            A.offsets, A.diag_vals, B_, jnp.zeros_like(B_), n=sys_.n,
+            nrhs=nrhs, eps=0.0, max_iter=51)
+        return X[:, 0]
+
+    try:
+        with jax.enable_x64(False):
+            dev_cb, _ = _slope(one_cgs_b, B, K=32)
+        if dev_cb is not None:
+            out["batched_cgs_us_per_solve"] = dev_cb * 1e6 / nrhs
+    except Exception:
+        pass
     return out
 
 
@@ -571,7 +607,12 @@ def _subprocess_env() -> dict:
            os.environ.get("PYTHONPATH", "")}
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(pkg_parent, ".jax_cache"))
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    # 0, not a small positive threshold: the REMOTE compile service has
+    # its own cache, so a previously-seen graph "compiles" in <0.5 s and
+    # a positive min-compile-time would skip the local write — leaving
+    # the workload hostage to the remote service (which stalls in waves)
+    # on every run.  Persist everything.
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
     return env
 
@@ -767,7 +808,11 @@ def main():
         for src, dst in (("pcg_device_us", "case10k_pallas_pcg_device_us"),
                          ("cgs_device_us", "case10k_pallas_cgs_device_us"),
                          ("batched_pcg_us_per_solve",
-                          "case10k_pallas_batched_pcg_us_per_solve")):
+                          "case10k_pallas_batched_pcg_us_per_solve"),
+                         ("bicgstab_device_us",
+                          "case10k_pallas_bicgstab_device_us"),
+                         ("batched_cgs_us_per_solve",
+                          "case10k_pallas_batched_cgs_us_per_solve")):
             if src in c10k_pallas:
                 out[dst] = round(c10k_pallas[src], 1)
     if icpcg is not None:
