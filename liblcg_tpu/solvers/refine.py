@@ -59,14 +59,21 @@ _JIT_CACHE: dict = {}
 
 def _default_inner_params(outer: SolverParams, lo: jnp.dtype) -> SolverParams:
     """Inner tolerance: push each correction to (near) the fast dtype's
-    certification floor.  The metric is a *squared*-norm ratio, so the f32
-    floor sits around eps_f32^2 ~ 1.4e-14; 1e-12 converges reliably and
-    each refinement then contracts the true residual by ~1e-6."""
-    eps = 1e-12 if jnp.finfo(lo).bits <= 32 else 1e-24
+    certification floor.  The metric is a *squared*-norm ratio, so the
+    floor sits around eps_dtype^2 — 1.4e-14 for f32 (default 1e-12,
+    contracting the true residual ~1e-6 per refinement), ~6e-5 for bf16
+    (default 6e-3, ~6e-2 per refinement: more refinements, but each
+    iteration moves half the HBM bytes).  Sub-f32 dtypes accumulate
+    their dots in f32 (`reduce_dtype`) — bf16's 8-bit mantissa cannot
+    sum millions of terms."""
+    u2 = float(jnp.finfo(lo).eps) ** 2
+    eps = max(100.0 * u2, 1e-24)
+    sub_f32 = jnp.finfo(lo).bits < 32
     return SolverParams(
         epsilon=eps,
         max_iterations=outer.max_iterations,
         abs_diff=False,
+        reduce_dtype="float32" if sub_f32 else None,
     )
 
 
@@ -75,6 +82,11 @@ def _pallas_eligible(A_low, m: str, M_low, inner_params: SolverParams,
     """Trace-time routing mirror of ``solve.py:_try_pallas_cg``: send the
     inner correction solves to the whole-solve VMEM kernel when legal."""
     if pallas == "never" or m not in ("cg", "pcg", "cgs"):
+        return False
+    if inner_params.reduce_dtype is not None:
+        if pallas == "always":
+            raise ValueError("pallas='always' but the kernels accumulate "
+                             "in f32 only (inner reduce_dtype is set)")
         return False
     if not isinstance(A_low, BandedOperator):
         if pallas == "always":
@@ -271,7 +283,8 @@ def _build_ir(fn, m, params, inner_params, max_refinements, trace_len,
             kwargs = dict(params=inner_params)
             if needs_M:
                 kwargs["M"] = M_low
-            c = fn(A_low, r_lo, None, **kwargs)
+            with H.reduction_dtype(inner_params.reduce_dtype):
+                c = fn(A_low, r_lo, None, **kwargs)
             return c["x"], c["t"]
 
         r0 = b - A.mv(x0)

@@ -212,3 +212,38 @@ def test_astype_jacobi_preconditioner():
     assert M32.dtype == jnp.dtype(jnp.float32)
     np.testing.assert_allclose(np.asarray(M32.inv_diag),
                                np.asarray(M.inv_diag).astype(np.float32))
+
+
+def test_ir_bf16_inner_reaches_f64_accuracy():
+    """bf16 inner solves refine to deep f64 residuals when
+    cond(A)*u_bf16 < 1 (here cond~40): more refinements (contraction
+    ~6e-2/step vs f32's ~1e-6), dots accumulated in f32 (auto
+    reduce_dtype for sub-f32 dtypes).  For stiff systems bf16 IR stalls
+    (chip-measured on 128^3: cond*u ~ 26, stalls at 7e-5) and bf16
+    buys no stencil bandwidth on this chip anyway (1.01x, probe_r3_bf16)
+    — f32 inner is the production default."""
+    A = _lap(10)
+    b = jnp.ones((A.shape[0],), jnp.float64)
+    r = lcg.solve_refined(A, b, inner_dtype=jnp.bfloat16,
+                          params=lcg.SolverParams(epsilon=1e-20),
+                          max_refinements=24, trace_len=24)
+    assert int(r.status_code) == int(lcg.Status.CONVERGENCE)
+    assert float(r.residual) <= 1e-20
+    tr = np.asarray(r.trace)
+    n_refine = int(np.count_nonzero(tr))
+    assert n_refine > 4  # coarser inner precision -> more outer steps
+    direct = lcg.solve(A, b, method="cg",
+                       params=lcg.SolverParams(epsilon=1e-20))
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(direct.x),
+                               rtol=0, atol=1e-7)
+
+
+def test_ir_bf16_inner_defaults():
+    """Sub-f32 inner dtypes get f32 dot accumulation and a floor-matched
+    inner epsilon by default."""
+    from liblcg_tpu.solvers.refine import _default_inner_params
+
+    p32 = _default_inner_params(lcg.SolverParams(), jnp.dtype(jnp.float32))
+    assert p32.reduce_dtype is None and 1e-13 < p32.epsilon < 1e-11
+    pbf = _default_inner_params(lcg.SolverParams(), jnp.dtype(jnp.bfloat16))
+    assert pbf.reduce_dtype == "float32" and 1e-4 < pbf.epsilon < 1e-1
