@@ -89,10 +89,11 @@ from .parallel import (
     ShardedLaplacian3D,
     ShardedSparseOperator,
     make_mesh,
+    solve_refined_sharded,
     solve_sharded,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "DEFAULT_PARAMS",
@@ -153,4 +154,5 @@ __all__ = [
     "ShardedStencil3D",
     "make_mesh",
     "solve_sharded",
+    "solve_refined_sharded",
 ]

@@ -562,6 +562,17 @@ def run_workload(name: str) -> None:
     print(json.dumps(WORKLOADS[name]()))
 
 
+def run_workload_group(names) -> None:
+    """Grouped subprocess entry: run workloads in order, one flushed JSON
+    line per completion, so the parent pays backend init ONCE for the
+    group (the ~25 s tunnel init per process dominated the 9-workload
+    budget) while still seeing per-workload progress for its watchdog."""
+    jax.config.update("jax_enable_x64", True)
+    for name in names:
+        res = WORKLOADS[name]()
+        print(json.dumps({"workload": name, "result": res}), flush=True)
+
+
 def _history_path() -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     return os.path.join(os.path.dirname(here), "bench_history.json")
@@ -641,31 +652,107 @@ def _run_one(name: str, timeout_s: float, env: dict):
         return None, False
 
 
+def _run_group(names, deadline, cap, env):
+    """Run a group of workloads in ONE streaming subprocess.
+
+    The child prints a flushed JSON line per completed workload; a
+    watchdog kills it when no workload completes within ``cap`` seconds
+    (generous +60 s for the first, which pays backend init) or the
+    budget ``deadline`` passes.  Returns ``(results, dropped, stalled)``:
+    ``dropped`` is the in-flight workload to skip (None if all ran),
+    ``stalled`` says whether the drop was environmental (watchdog/budget
+    kill — eligible for the stale-history fallback) or a genuine child
+    failure (not eligible).
+    """
+    import queue
+    import subprocess
+    import sys
+    import threading
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "liblcg_tpu.bench",
+         "--workloads", ",".join(names)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env,
+    )
+    q: "queue.Queue" = queue.Queue()
+
+    def reader():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    results = {}
+    done = set()
+    next_deadline = time.monotonic() + cap + 60  # + init grace
+    while True:
+        wait = min(next_deadline, deadline) - time.monotonic()
+        if wait <= 0:
+            proc.kill()
+            in_flight = next(n for n in names if n not in done)
+            why = ("budget exhausted" if deadline <= next_deadline
+                   else "tunnel stall")
+            _note(f"{in_flight} killed ({why})")
+            return results, in_flight, True
+        try:
+            line = q.get(timeout=wait)
+        except queue.Empty:
+            continue
+        if line is None:           # child exited
+            pending = [n for n in names if n not in done]
+            if pending:
+                _note(f"{pending[0]} failed (child exited "
+                      f"rc={proc.poll()})")
+                return results, pending[0], False
+            return results, None, False
+        try:
+            msg = json.loads(line)
+            name, res = msg["workload"], msg["result"]
+        except Exception:
+            continue
+        _note(f"{name} done")
+        results[name] = res
+        done.add(name)
+        next_deadline = time.monotonic() + cap
+
+
 def _run_all_isolated(budget_s: float):
-    """Run every workload in its own bounded subprocess, priority order.
+    """Run the workloads in grouped streaming subprocesses, priority
+    order.
 
     Remote TPU compiles through the tunnel intermittently take 4-8
     minutes instead of ~30 s, and a hung compile cannot be interrupted
-    in-process — a subprocess with a hard timeout can.  A stuck workload
-    is killed and the rest still report; the final JSON line always
-    lands within the budget.  Returns (results, stalled_names)."""
+    in-process — a subprocess the parent can kill is the containment
+    unit.  Grouping pays the ~25 s backend init once per group instead
+    of once per workload; when a workload stalls, its child is killed
+    and a NEW group resumes after the stuck workload.  The final JSON
+    line always lands within the budget.  Returns
+    (results, stalled_names)."""
     t_start = time.monotonic()
     env = _subprocess_env()
     results = {}
     stalled = set()
-    for name in WORKLOADS:
+    cap = float(os.environ.get("LIBLCG_BENCH_WORKLOAD_CAP_S", "360"))
+    remaining = list(WORKLOADS)
+    while remaining:
         left = budget_s - (time.monotonic() - t_start)
         if left < 45:
-            _note(f"skip {name} (budget exhausted)")
-            stalled.add(name)   # budget loss == environmental, not a bug
-            continue
-        _note(name)
-        cap = float(os.environ.get("LIBLCG_BENCH_WORKLOAD_CAP_S", "360"))
-        res, was_stall = _run_one(name, min(left - 15, cap), env)
-        if res is not None:
-            results[name] = res
-        elif was_stall:
-            stalled.add(name)
+            for name in remaining:
+                _note(f"skip {name} (budget exhausted)")
+                stalled.add(name)   # environmental, not a bug
+            break
+        _note("group: " + ",".join(remaining))
+        got, dropped, was_stall = _run_group(
+            remaining, t_start + budget_s - 10, cap, env)
+        results.update(got)
+        remaining = [n for n in remaining
+                     if n not in got and n != dropped]
+        if dropped is not None and was_stall:
+            stalled.add(dropped)
+        if dropped is None:
+            break               # group ran to completion
 
     # The headline workload must land if at all possible: when it was
     # stalled out earlier and budget remains, try it once more (compile
@@ -689,7 +776,7 @@ def _device_string(env: dict) -> str:
     try:
         proc = subprocess.run(
             [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
-            capture_output=True, text=True, timeout=90, env=env,
+            capture_output=True, text=True, timeout=30, env=env,
         )
         if proc.returncode == 0 and proc.stdout.strip():
             return proc.stdout.strip().splitlines()[-1]
@@ -704,12 +791,16 @@ def main():
     # corrupt any process that merely imports this module.
     import sys as _sys
 
+    if "--workloads" in _sys.argv:
+        run_workload_group(
+            _sys.argv[_sys.argv.index("--workloads") + 1].split(","))
+        return
     if "--workload" in _sys.argv:
         run_workload(_sys.argv[_sys.argv.index("--workload") + 1])
         return
 
     jax.config.update("jax_enable_x64", True)
-    budget_s = float(os.environ.get("LIBLCG_BENCH_BUDGET_S", "500"))
+    budget_s = float(os.environ.get("LIBLCG_BENCH_BUDGET_S", "530"))
     r, stalled = _run_all_isolated(budget_s)
     _save_history(r)
     # The tunnel's remote-compile service has multi-minute stall periods

@@ -27,7 +27,7 @@ from .stencil import (
     ShardedStencil3D,
     Stencil3DOperator,
 )
-from .api import solve_sharded, shard_system
+from .api import solve_refined_sharded, solve_sharded, shard_system
 from .block_jacobi import BlockJacobiPreconditioner
 
 __all__ = [
@@ -40,6 +40,7 @@ __all__ = [
     "Stencil3DOperator",
     "ShardedStencil3D",
     "solve_sharded",
+    "solve_refined_sharded",
     "BlockJacobiPreconditioner",
     "shard_system",
 ]

@@ -291,3 +291,143 @@ def shard_system(system, *, n_devices: Optional[int] = None, **kw):
         n_devices = len(jax.devices())
     op = ShardedSparseOperator.from_system(system, n_devices=n_devices, **kw)
     return op, jnp.asarray(system.b)
+
+
+def solve_refined_sharded(
+    A,
+    b,
+    x0=None,
+    *,
+    method: str = "cg",
+    M=None,
+    params: SolverParams = DEFAULT_PARAMS,
+    inner_dtype=jnp.float32,
+    inner_params: Optional[SolverParams] = None,
+    max_refinements: int = 8,
+    A_low=None,
+    M_low=None,
+    trace_len: int = 0,
+    mesh: Optional[Mesh] = None,
+    check: bool = False,
+) -> SolveResult:
+    """Mixed-precision iterative refinement, SPMD over a device mesh.
+
+    The sharded composition of :func:`liblcg_tpu.solve_refined`: the
+    whole outer-correction / inner-engine nest traces inside ONE
+    ``jax.shard_map`` with the harness in distributed mode — the
+    working-precision residual matvec and the fast-dtype inner solves
+    all run on local row shards with ``psum`` reductions, one compiled
+    program, no extra host round trips.  ``A`` must be a mesh-aware
+    operator (same contract as :func:`solve_sharded`); ``A_low``
+    defaults to ``A.astype(inner_dtype)`` (same partitioning, cast
+    leaves).  Preconditioners: an operator pytree with shardable leaves
+    (cast via ``astype``) or pass ``M_low`` explicitly.
+
+    The reference's mixed-precision analogue (clcg_cudaf.*) is single-
+    GPU float storage with no way back to double accuracy; this is f64
+    accuracy at f32 throughput on every shard.
+    """
+    from ..solve import canonical_method
+    from ..solvers import refine as R
+
+    m = canonical_method(method)
+    if m not in R._INNER_ENGINES:
+        raise ValueError(
+            f"solve_refined_sharded supports the unconstrained real "
+            f"engines {sorted(R._INNER_ENGINES)}; got {m!r}"
+        )
+    b = jnp.asarray(b)
+    if jnp.issubdtype(b.dtype, jnp.complexfloating):
+        raise ValueError("solve_refined_sharded is real-domain; realify "
+                         "the complex system first")
+    fn, needs_M = R._INNER_ENGINES[m]
+    if M is not None and not needs_M:
+        raise ValueError(f"method {m!r} does not use a preconditioner")
+    if needs_M and M is None and M_low is None:
+        return SolveResult(
+            x=b * 0, status_code=jnp.asarray(
+                int(Status.NULL_PRECONDITION_MATRIX), jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(jnp.nan), trace=None)
+    err = params.validate(for_method=m)
+    if err is not None:
+        return SolveResult(
+            x=b * 0, status_code=jnp.asarray(int(err), jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(jnp.nan), trace=None)
+
+    lo = jnp.dtype(inner_dtype)
+    if A_low is None:
+        A_low = A.astype(lo)
+    M_is_callable = needs_M and M_low is None and not isinstance(
+        M, LinearOperator)
+    if needs_M and M_low is None:
+        if M_is_callable:
+            M_low = M          # shard-local callable; applied in lo dtype
+        else:
+            cast = getattr(M, "astype", None)
+            if cast is None:
+                raise ValueError(
+                    f"{type(M).__name__} has no astype; pass M_low=")
+            M_low = cast(lo)
+    if inner_params is None:
+        inner_params = R._default_inner_params(params, lo)
+
+    axis = A.axis_name
+    D = A.n_devices
+    n = getattr(A, "n", b.shape[0])
+    n_padded = A.n_padded
+    if mesh is None:
+        mesh = make_mesh(D, axis)
+    if mesh.shape[axis] != D:
+        raise ValueError(
+            f"mesh axis {axis!r} has size {mesh.shape[axis]}, operator "
+            f"was partitioned for {D}"
+        )
+
+    bp = _pad_to(b, n_padded)
+    x0p = (jnp.zeros_like(bp) if x0 is None
+           else _pad_to(jnp.asarray(x0, dtype=bp.dtype), n_padded))
+
+    run = R._build_ir(fn, m, params, inner_params, int(max_refinements),
+                      int(trace_len), False, False, lo, needs_M)
+
+    extras = []
+    extra_specs = []
+    if needs_M and not M_is_callable:
+        extras.append(M_low)
+        extra_specs.append(
+            jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), M_low)
+        )
+
+    def body(A_l, Al_l, b_l, x0_l, *extras_l):
+        args = list(extras_l)
+        if needs_M and M_is_callable:
+            args = [M_low]
+        with H.distributed(axis, logical_dim=n):
+            return run(A_l, Al_l, b_l, x0_l, *args)
+
+    A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), A)
+    Al_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), A_low)
+    out_specs = {
+        "x": P(axis), "r": P(axis), "res": P(), "k": P(), "total_t": P(),
+        "stall": P(), "status": P(), "trace": P(),
+    }
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(A_specs, Al_specs, P(axis), P(axis), *extra_specs),
+        out_specs=out_specs,
+    )
+    carry = jax.jit(mapped)(A, A_low, bp, x0p, *extras)
+    result = SolveResult(
+        x=carry["x"][..., :n],
+        status_code=carry["status"],
+        iterations=carry["total_t"],
+        residual=carry["res"],
+        trace=carry.get("trace"),
+    )
+    if check:
+        from ..utils.errors import check_status
+
+        check_status(result.status_code, raise_error=True, quiet=True)
+    return result

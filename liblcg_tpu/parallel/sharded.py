@@ -270,6 +270,16 @@ class ShardedSparseOperator(LinearOperator):
     def diagonal(self):
         return self._diag
 
+    def astype(self, dtype):
+        """Same partitioning/plan, values cast — the sharded low-precision
+        operator for :func:`liblcg_tpu.solve_refined_sharded`."""
+        obj = object.__new__(ShardedSparseOperator)
+        obj.__dict__.update(self.__dict__)
+        obj.ell_vals = self.ell_vals.astype(dtype)
+        obj._diag = self._diag.astype(dtype)
+        obj.dtype = jnp.dtype(dtype)
+        return obj
+
     @classmethod
     def from_system(cls, system, *, n_devices: int, **kw):
         """Build from a :class:`liblcg_tpu.utils.io.LinearSystem`."""
@@ -402,6 +412,13 @@ class ShardedBandedOperator(LinearOperator):
         if 0 in self.offsets:
             return self.dia_vals[:, self.offsets.index(0)]
         return jnp.zeros((self.n_padded,), dtype=self.dtype)
+
+    def astype(self, dtype):
+        obj = object.__new__(ShardedBandedOperator)
+        obj.__dict__.update(self.__dict__)
+        obj.dia_vals = self.dia_vals.astype(dtype)
+        obj.dtype = jnp.dtype(dtype)
+        return obj
 
     @classmethod
     def from_system(cls, system, *, n_devices: int, **kw):

@@ -147,6 +147,11 @@ class ShardedLaplacian3D(LinearOperator):
     def diagonal(self):
         return jnp.full((self.n,), 6.0, dtype=self.dtype)
 
+    def astype(self, dtype):
+        nz, ny, nx = self.grid
+        return ShardedLaplacian3D(nz, ny, nx, n_devices=self.n_devices,
+                                  axis_name=self.axis_name, dtype=dtype)
+
 
 def _slap_flatten(op):
     return (), (op.grid, op.n_devices, op.axis_name, str(op.dtype))
@@ -386,6 +391,14 @@ class ShardedStencil3D(LinearOperator):
 
     def diagonal(self):
         return self.c0
+
+    def astype(self, dtype):
+        obj = object.__new__(ShardedStencil3D)
+        obj.__dict__.update(self.__dict__)
+        for name in ("c0", "cxm", "cxp", "cym", "cyp", "czm", "czp"):
+            setattr(obj, name, getattr(self, name).astype(dtype))
+        obj.dtype = jnp.dtype(dtype)
+        return obj
 
 
 def _sst_flatten(op):

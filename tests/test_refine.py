@@ -247,3 +247,49 @@ def test_ir_bf16_inner_defaults():
     assert p32.reduce_dtype is None and 1e-13 < p32.epsilon < 1e-11
     pbf = _default_inner_params(lcg.SolverParams(), jnp.dtype(jnp.bfloat16))
     assert pbf.reduce_dtype == "float32" and 1e-4 < pbf.epsilon < 1e-1
+
+
+# ---- sharded refinement ------------------------------------------------------
+
+
+def test_ir_sharded_matches_single_device(case_10k):
+    sys_, _ = case_10k
+    A8 = lcg.ShardedSparseOperator(sys_.n, sys_.rows, sys_.cols, sys_.vals,
+                                   n_devices=8)
+    b = jnp.asarray(sys_.b)
+    p = lcg.SolverParams(epsilon=EPS_F64)
+    r8 = lcg.solve_refined_sharded(A8, b, params=p, trace_len=8)
+    A1 = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                  sys_.vals, format="ell")
+    r1 = lcg.solve_refined(A1, b, params=p)
+    assert int(r8.status_code) == int(lcg.Status.CONVERGENCE)
+    assert float(r8.residual) <= EPS_F64
+    np.testing.assert_allclose(np.asarray(r8.x), np.asarray(r1.x),
+                               rtol=0, atol=1e-8)
+    # same refinement count as the single-device nest
+    t8 = np.asarray(r8.trace)
+    assert int(np.count_nonzero(t8)) in (2, 3, 4)
+
+
+def test_ir_sharded_pcg_and_guards():
+    AL = lcg.ShardedLaplacian3D(16, 16, 16, n_devices=8, dtype=jnp.float64)
+    b = jnp.ones((AL.n,), jnp.float64)
+    M = lcg.JacobiPreconditioner(jnp.full((AL.n,), 6.0))
+    r = lcg.solve_refined_sharded(AL, b, method="pcg", M=M,
+                                  params=lcg.SolverParams(epsilon=EPS_F64))
+    assert int(r.status_code) == int(lcg.Status.CONVERGENCE)
+    with pytest.raises(ValueError, match="preconditioner"):
+        lcg.solve_refined_sharded(AL, b, method="cg", M=M)
+    with pytest.raises(ValueError, match="unconstrained real"):
+        lcg.solve_refined_sharded(AL, b, method="spg")
+
+
+def test_sharded_astype():
+    sysn, r_, c_, v_, _ = _rand_coo(n=64, seed=13)
+    for cls_kw in (dict(),):
+        A = lcg.ShardedSparseOperator(sysn, r_, c_, v_, n_devices=8, **cls_kw)
+        A32 = A.astype(jnp.float32)
+        assert A32.dtype == jnp.dtype(jnp.float32)
+        assert A32.comm == A.comm and A32.halo == A.halo
+    AL = lcg.ShardedLaplacian3D(8, 8, 8, n_devices=8, dtype=jnp.float64)
+    assert AL.astype(jnp.float32).dtype == jnp.dtype(jnp.float32)
