@@ -68,7 +68,7 @@ from .solve import (
     solve,
     solve_batched,
 )
-from .solvers.refine import solve_refined
+from .solvers.refine import solve_refined, solve_refined_batched
 from .precond import (
     ChebyshevPreconditioner,
     JacobiPreconditioner,
@@ -121,6 +121,7 @@ __all__ = [
     "aslinearoperator",
     "solve",
     "solve_refined",
+    "solve_refined_batched",
     "solve_batched",
     "BATCHED_METHODS",
     "lcg_solver",

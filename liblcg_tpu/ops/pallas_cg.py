@@ -386,7 +386,8 @@ def _cg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
 
     def cond(c):
         x, g, gmod, xmod, t = c
-        return jnp.any(alive_of(gmod, xmod, t))
+        return jnp.max(
+            alive_of(gmod, xmod, t).astype(jnp.int32)) > 0
 
     def body(c):
         x, g, gmod, xmod, t = c
@@ -394,11 +395,11 @@ def _cg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
         ad = dia_mv(d_ext_ref[...])
         d = d_ref[...]
         dTAd = rowsum(d * ad)
-        ak = gmod / jnp.where(dTAd == 0, 1.0, dTAd)
+        ak = gmod / jnp.where(dTAd == 0, jnp.float32(1.0), dTAd)
         x = jnp.where(alive, x + ak * d, x)
         g1 = jnp.where(alive, g + ak * ad, g)
         g1mod = rowsum(g1 * g1)
-        betak = g1mod / jnp.where(gmod == 0, 1.0, gmod)
+        betak = g1mod / jnp.where(gmod == 0, jnp.float32(1.0), gmod)
         dnew = jnp.where(alive, betak * d - g1, d)
         d_ref[...] = dnew
         d_ext_ref[:, pad_l : pad_l + n] = dnew
@@ -780,7 +781,8 @@ def _pcg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
 
     def cond(c):
         x, r, zTr, rmod, xmod, t = c
-        return jnp.any(alive_of(rmod, xmod, t))
+        return jnp.max(
+            alive_of(rmod, xmod, t).astype(jnp.int32)) > 0
 
     def body(c):
         x, r, zTr, rmod, xmod, t = c
@@ -788,12 +790,12 @@ def _pcg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
         ad = dia_mv(d_ext_ref[...])
         d = d_ref[...]
         dTAd = rowsum(d * ad)
-        ak = zTr / jnp.where(dTAd == 0, 1.0, dTAd)
+        ak = zTr / jnp.where(dTAd == 0, jnp.float32(1.0), dTAd)
         x = jnp.where(alive, x + ak * d, x)
         r1 = jnp.where(alive, r - ak * ad, r)
         z = invd_ref[...] * r1
         zTr1 = rowsum(z * r1)
-        betak = zTr1 / jnp.where(zTr == 0, 1.0, zTr)
+        betak = zTr1 / jnp.where(zTr == 0, jnp.float32(1.0), zTr)
         dnew = jnp.where(alive, z + betak * d, d)
         d_ref[...] = dnew
         d_ext_ref[:, pad_l : pad_l + n] = dnew
@@ -856,21 +858,22 @@ def _cgs_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
 
     def cond(c):
         x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
-        return jnp.any(alive_of(rmod, xmod, t))
+        return jnp.max(
+            alive_of(rmod, xmod, t).astype(jnp.int32)) > 0
 
     def body(c):
         x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
         alive = alive_of(rmod, xmod, t)
         apk = dia_mv_of(pk)
         AprT = rowsum(apk * r0T_ref[...])
-        ak = rkr0T / jnp.where(AprT == 0, 1.0, AprT)
+        ak = rkr0T / jnp.where(AprT == 0, jnp.float32(1.0), AprT)
         qk1 = uk - ak * apk
         wk = uk + qk1
         awk = dia_mv_of(wk)
         x1 = jnp.where(alive, x + ak * wk, x)
         rk1 = jnp.where(alive, rk - ak * awk, rk)
         rkr0T1 = rowsum(rk1 * r0T_ref[...])
-        betak = rkr0T1 / jnp.where(rkr0T == 0, 1.0, rkr0T)
+        betak = rkr0T1 / jnp.where(rkr0T == 0, jnp.float32(1.0), rkr0T)
         uk1 = rk1 + betak * qk1
         pk1 = uk1 + betak * (qk1 + betak * pk)
         pk = jnp.where(alive, pk1, pk)

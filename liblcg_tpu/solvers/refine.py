@@ -352,3 +352,278 @@ def _build_ir(fn, m, params, inner_params, max_refinements, trace_len,
         return out
 
     return run
+
+
+def _pallas_eligible_batched(A_low, m, M_low, inner_params, pallas,
+                             nrhs: int) -> bool:
+    """Batched mirror of :func:`_pallas_eligible` (multi-RHS kernels:
+    cg / Jacobi-pcg / cgs)."""
+    if pallas == "never" or m not in ("cg", "pcg", "cgs"):
+        return False
+    if inner_params.reduce_dtype is not None:
+        if pallas == "always":
+            raise ValueError("pallas='always' but the kernels accumulate "
+                             "in f32 only (inner reduce_dtype is set)")
+        return False
+    if not isinstance(A_low, BandedOperator):
+        if pallas == "always":
+            raise ValueError("pallas='always' but A_low is not a "
+                             "BandedOperator (DIA)")
+        return False
+    if jnp.dtype(A_low.dtype) != jnp.float32:
+        if pallas == "always":
+            raise ValueError("pallas='always' but the inner dtype is not "
+                             "float32 (Mosaic has no f64)")
+        return False
+    if m == "pcg" and getattr(M_low, "inv_diag", None) is None:
+        if pallas == "always":
+            raise ValueError("pallas='always' but the pcg kernel needs a "
+                             "diagonal preconditioner (JacobiPreconditioner)")
+        return False
+    from ..ops.pallas_cg import (
+        BATCHED_CGS_VEC_BUFFERS, fits_in_vmem_batched)
+
+    census = (dict(n_vec_buffers=BATCHED_CGS_VEC_BUFFERS)
+              if m == "cgs" else {})
+    if not fits_in_vmem_batched(A_low.shape[0], A_low.n_diagonals, nrhs,
+                                **census):
+        if pallas == "always":
+            raise ValueError("pallas='always' but the batched state "
+                             "exceeds the VMEM budget")
+        return False
+    if jax.default_backend() == "cpu" and pallas != "always":
+        return False
+    return True
+
+
+def solve_refined_batched(
+    A,
+    B,
+    X0=None,
+    *,
+    method: str = "cg",
+    M=None,
+    params: SolverParams = DEFAULT_PARAMS,
+    inner_dtype=jnp.float32,
+    inner_params: Optional[SolverParams] = None,
+    max_refinements: int = 8,
+    A_low: Optional[LinearOperator] = None,
+    M_low=None,
+    pallas: str = "auto",
+    check: bool = False,
+) -> SolveResult:
+    """Multi-RHS mixed-precision iterative refinement.
+
+    Solves ``A X[i] = B[i]`` for a stack of right-hand sides ``B`` of
+    shape (nrhs, n): the outer working-precision correction loop runs
+    all systems in lockstep (per-system freezing — converged systems
+    stop updating and stop counting), while the fast-dtype inner
+    correction solves run through the batched engine or, when eligible,
+    the batched multi-RHS VMEM Pallas kernels.  Per-system statuses,
+    residuals and total inner-iteration counts come back as arrays, the
+    same contract as :func:`liblcg_tpu.solve_batched`.
+    """
+    from ..solve import canonical_method
+
+    m = canonical_method(method)
+    if m not in _INNER_ENGINES:
+        raise ValueError(
+            f"solve_refined_batched supports the unconstrained real "
+            f"engines {sorted(_INNER_ENGINES)}; got {m!r}")
+    B = jnp.asarray(B)
+    if B.ndim != 2:
+        raise ValueError(f"B must be (nrhs, n), got {B.shape}")
+    if jnp.issubdtype(B.dtype, jnp.complexfloating):
+        raise ValueError("solve_refined_batched is real-domain")
+    A = A if isinstance(A, LinearOperator) else aslinearoperator(
+        A, n=B.shape[1], dtype=B.dtype)
+    fn, needs_M = _INNER_ENGINES[m]
+    if M is not None and not needs_M:
+        raise ValueError(f"method {m!r} does not use a preconditioner")
+    if needs_M and M is None and M_low is None:
+        return SolveResult(
+            x=jnp.zeros_like(B) if X0 is None else jnp.asarray(X0),
+            status_code=jnp.full((B.shape[0],), int(
+                Status.NULL_PRECONDITION_MATRIX), jnp.int32),
+            iterations=jnp.zeros((B.shape[0],), jnp.int32),
+            residual=jnp.full((B.shape[0],), jnp.nan), trace=None)
+    err = params.validate(for_method=m)
+    if err is not None:
+        return SolveResult(
+            x=jnp.zeros_like(B) if X0 is None else jnp.asarray(X0),
+            status_code=jnp.full((B.shape[0],), int(err), jnp.int32),
+            iterations=jnp.zeros((B.shape[0],), jnp.int32),
+            residual=jnp.full((B.shape[0],), jnp.nan), trace=None)
+
+    lo = jnp.dtype(inner_dtype)
+    if A_low is None:
+        A_low = A.astype(lo)
+    if needs_M and M_low is None:
+        cast = getattr(M, "astype", None)
+        if cast is None:
+            raise ValueError(
+                f"{type(M).__name__} has no astype; pass M_low= explicitly")
+        M_low = cast(lo)
+    if inner_params is None:
+        inner_params = _default_inner_params(params, lo)
+
+    nrhs = int(B.shape[0])
+    use_pallas = _pallas_eligible_batched(A_low, m, M_low, inner_params,
+                                          pallas, nrhs)
+    interpret = use_pallas and jax.default_backend() == "cpu"
+
+    key = ("batched", fn, params, inner_params, int(max_refinements),
+           use_pallas, interpret, str(lo), needs_M, nrhs)
+    jitted = _JIT_CACHE.get(key)
+    if jitted is None:
+        jitted = jax.jit(_build_ir_batched(
+            fn, m, params, inner_params, int(max_refinements),
+            use_pallas, interpret, lo, needs_M, nrhs))
+        _JIT_CACHE[key] = jitted
+
+    X0_arr = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, B.dtype)
+    extras = (M_low,) if needs_M else ()
+    carry = jitted(A, A_low, B, X0_arr, *extras)
+    result = SolveResult(
+        x=carry["x"], status_code=carry["status"],
+        iterations=carry["total_t"], residual=carry["res"],
+        trace=None,
+    )
+    if check:
+        import numpy as _np
+
+        from ..utils.errors import check_status
+
+        for s in _np.asarray(result.status_code):
+            check_status(s, raise_error=True, quiet=True)
+    return result
+
+
+def _build_ir_batched(fn, m, params, inner_params, max_refinements,
+                      use_pallas, interpret, lo, needs_M, nrhs):
+    """Batched compile-time builder: lockstep refinement with per-system
+    freezing, one XLA program."""
+
+    def run(A, A_low, B, X0, *extras):
+        from ..solve import _VmappedOperator
+
+        M_low = extras[0] if needs_M else None
+        with H.batched():
+            n = H.dim(B)
+            hi = B.dtype
+            A_v = _VmappedOperator(A)
+            Al_v = _VmappedOperator(A_low)
+            if M_low is None:
+                Ml_v = None
+            elif isinstance(M_low, LinearOperator):
+                Ml_v = _VmappedOperator(M_low)
+            else:                      # bare callable: map per system
+                Ml_v = lambda V: jax.vmap(M_low)(V)  # noqa: E731
+
+            def metric(r_sq, x_sq):
+                return H.real_residual(r_sq, x_sq, n, params.abs_diff)
+
+            def inner_solve(R_lo):
+                if use_pallas:
+                    from ..ops.pallas_cg import (
+                        pallas_cg_dia_batched,
+                        pallas_cgs_dia_batched,
+                        pallas_pcg_dia_batched,
+                    )
+
+                    common = dict(
+                        n=A_low.shape[0], nrhs=nrhs,
+                        eps=inner_params.epsilon,
+                        max_iter=inner_params.effective_max_iterations(),
+                        abs_diff=bool(inner_params.abs_diff),
+                        interpret=interpret,
+                    )
+                    Z = jnp.zeros_like(R_lo)
+                    with jax.enable_x64(False):
+                        if m == "pcg":
+                            D, t, _ = pallas_pcg_dia_batched(
+                                A_low.offsets, A_low.diag_vals,
+                                jnp.asarray(M_low.inv_diag, jnp.float32),
+                                R_lo, Z, **common)
+                        elif m == "cgs":
+                            D, t, _ = pallas_cgs_dia_batched(
+                                A_low.offsets, A_low.diag_vals, R_lo, Z,
+                                **common)
+                        else:
+                            D, t, _ = pallas_cg_dia_batched(
+                                A_low.offsets, A_low.diag_vals, R_lo, Z,
+                                **common)
+                    return D, t
+                kwargs = dict(params=inner_params)
+                if needs_M:
+                    kwargs["M"] = Ml_v
+                with H.reduction_dtype(inner_params.reduce_dtype):
+                    c = fn(Al_v, R_lo, None, **kwargs)
+                return c["x"], c["t"]
+
+            R0 = B - A_v.mv(X0)
+            res0 = metric(H.sq_norm(R0), jnp.maximum(H.sq_norm(X0), 1.0))
+            carry = dict(
+                x=X0,
+                r=R0,
+                res=res0,                              # (nrhs, 1)
+                k=jnp.asarray(0, jnp.int32),
+                total_t=jnp.zeros((nrhs,), jnp.int32),
+                stall=jnp.zeros((nrhs, 1), jnp.int32),
+                status=jnp.where(
+                    jnp.isnan(res0), int(Status.NAN_VALUE),
+                    jnp.where(res0 <= params.epsilon,
+                              int(Status.CONVERGENCE),
+                              int(Status.RUNNING))).astype(jnp.int32),
+            )
+
+            def cond_fn(c):
+                return jnp.any(c["status"] == int(Status.RUNNING))
+
+            def body_fn(c):
+                runm = c["status"] == int(Status.RUNNING)   # (nrhs, 1)
+                s = jnp.sqrt(H.sq_norm(c["r"]))
+                safe = jnp.where(s > 0, s, 1.0).astype(hi)
+                D_lo, t_in = inner_solve((c["r"] / safe).astype(lo))
+                x_new = c["x"] + D_lo.astype(hi) * safe
+                r_new = B - A_v.mv(x_new)
+                res_new = metric(H.sq_norm(r_new),
+                                 jnp.maximum(H.sq_norm(x_new), 1.0))
+
+                improved = res_new < c["res"]
+                take = improved & runm
+                x = jnp.where(take, x_new, c["x"])
+                r = jnp.where(take, r_new, c["r"])
+                res = jnp.where(take, res_new, c["res"])
+                stall = jnp.where(
+                    runm, jnp.where(improved, 0, c["stall"] + 1),
+                    c["stall"])
+                k = c["k"] + 1
+
+                nan = (jnp.isnan(res_new)
+                       | jnp.any(jnp.isnan(D_lo), axis=-1, keepdims=True))
+                status_new = jnp.where(
+                    nan, int(Status.NAN_VALUE),
+                    jnp.where(
+                        res <= params.epsilon, int(Status.CONVERGENCE),
+                        jnp.where(
+                            (k >= max_refinements) | (stall >= 2),
+                            int(Status.REACHED_MAX_ITERATIONS),
+                            int(Status.RUNNING)))).astype(jnp.int32)
+                status = jnp.where(runm, status_new, c["status"])
+                total_t = c["total_t"] + jnp.where(
+                    runm[:, 0], t_in.astype(jnp.int32), 0)
+                return dict(x=x, r=r, res=res, k=k, total_t=total_t,
+                            stall=stall, status=status)
+
+            out = lax.while_loop(cond_fn, body_fn, carry)
+            status = jnp.where(
+                (out["status"] == int(Status.CONVERGENCE))
+                & (out["total_t"][:, None] == 0),
+                int(Status.ALREADY_OPTIMIZED), out["status"]).astype(
+                    jnp.int32)
+            return dict(x=out["x"], r=out["r"], res=out["res"][:, 0],
+                        k=out["k"], total_t=out["total_t"],
+                        stall=out["stall"], status=status[:, 0])
+
+    return run

@@ -293,3 +293,63 @@ def test_sharded_astype():
         assert A32.comm == A.comm and A32.halo == A.halo
     AL = lcg.ShardedLaplacian3D(8, 8, 8, n_devices=8, dtype=jnp.float64)
     assert AL.astype(jnp.float32).dtype == jnp.dtype(jnp.float32)
+
+
+# ---- batched refinement ------------------------------------------------------
+
+
+def test_ir_batched_matches_single(case_10k):
+    sys_, _ = case_10k
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                 sys_.vals)
+    B = jnp.stack([jnp.asarray(sys_.b) * (1 + 0.1 * k) for k in range(3)])
+    p = lcg.SolverParams(epsilon=EPS_F64)
+    r = lcg.solve_refined_batched(A, B, params=p)
+    assert np.all(np.asarray(r.status_code) == int(lcg.Status.CONVERGENCE))
+    assert np.all(np.asarray(r.residual) <= EPS_F64)
+    r1 = lcg.solve_refined(A, B[1], params=p)
+    np.testing.assert_allclose(np.asarray(r.x[1]), np.asarray(r1.x),
+                               rtol=0, atol=1e-8)
+
+
+def test_ir_batched_per_system_freezing(case_10k):
+    """A zero right-hand side is ALREADY_OPTIMIZED at zero inner
+    iterations while the other systems refine to convergence."""
+    sys_, _ = case_10k
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                 sys_.vals)
+    M = lcg.JacobiPreconditioner(A)
+    B = jnp.stack([jnp.asarray(sys_.b), jnp.zeros((sys_.n,))])
+    r = lcg.solve_refined_batched(A, B, method="pcg", M=M,
+                                  params=lcg.SolverParams(epsilon=EPS_F64))
+    st = np.asarray(r.status_code)
+    assert st[0] == int(lcg.Status.CONVERGENCE)
+    assert st[1] == int(lcg.Status.ALREADY_OPTIMIZED)
+    assert int(np.asarray(r.iterations)[1]) == 0
+
+
+def test_ir_batched_pallas_kernel_inner(case_10k):
+    """pallas='always': the batched multi-RHS VMEM kernel runs INSIDE the
+    jitted refinement loop (interpreter on CPU) — same answers as the
+    batched XLA engine path."""
+    sys_, _ = case_10k
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                 sys_.vals)
+    B = jnp.stack([jnp.asarray(sys_.b) * (1 + 0.1 * k) for k in range(2)])
+    p = lcg.SolverParams(epsilon=EPS_F64)
+    rk = lcg.solve_refined_batched(A, B, params=p, pallas="always",
+                                   max_refinements=4)
+    rx = lcg.solve_refined_batched(A, B, params=p, pallas="never")
+    assert np.all(np.asarray(rk.status_code) == int(lcg.Status.CONVERGENCE))
+    np.testing.assert_allclose(np.asarray(rk.x), np.asarray(rx.x),
+                               rtol=0, atol=1e-7)
+
+
+def test_ir_batched_guards():
+    A = _lap(8)
+    B = jnp.ones((2, A.shape[0]), jnp.float64)
+    with pytest.raises(ValueError, match="preconditioner"):
+        lcg.solve_refined_batched(A, B, method="cg",
+                                  M=lcg.JacobiPreconditioner(A))
+    with pytest.raises(ValueError, match=r"\(nrhs, n\)"):
+        lcg.solve_refined_batched(A, B[0])
