@@ -330,6 +330,26 @@ def bench_case10k_pallas():
             out["batched_cgs_us_per_solve"] = dev_cb * 1e6 / nrhs
     except Exception:
         pass
+
+    # Batched mixed-precision refinement: 32 systems to FULL f64-class
+    # residuals (eps 1e-24 squared) with the batched VMEM CG kernel as
+    # the inner engine, whole nest one program
+    # (profiling/probe_r3_irbatched.json).
+    try:
+        A64 = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows,
+                                       sys_.cols, sys_.vals)
+        B64 = jnp.stack([jnp.asarray(sys_.b) * (1.0 + 0.01 * i)
+                         for i in range(nrhs)])
+        p_ir = lcg.SolverParams(epsilon=1e-24)
+
+        def one_irb(B_):
+            return lcg.solve_refined_batched(A64, B_, params=p_ir).x[:, 0]
+
+        dev_irb, _ = _slope(one_irb, B64, K=16)
+        if dev_irb is not None:
+            out["ir_batched_us_per_system"] = dev_irb * 1e6 / nrhs
+    except Exception:
+        pass
     return out
 
 
@@ -903,7 +923,9 @@ def main():
                          ("bicgstab_device_us",
                           "case10k_pallas_bicgstab_device_us"),
                          ("batched_cgs_us_per_solve",
-                          "case10k_pallas_batched_cgs_us_per_solve")):
+                          "case10k_pallas_batched_cgs_us_per_solve"),
+                         ("ir_batched_us_per_system",
+                          "case10k_ir_batched_f64acc_us_per_system")):
             if src in c10k_pallas:
                 out[dst] = round(c10k_pallas[src], 1)
     if icpcg is not None:

@@ -72,6 +72,17 @@ class SolverBase:
         identity (i.e. unpreconditioned PCG)."""
         return x
 
+    def AxProductLow(self, x):
+        """Low-precision ``A @ x`` for :meth:`LCGSolver.MinimizeRefined`.
+
+        Override with a genuinely fast-dtype product (e.g. f32 data).  A
+        cast wrapper around :meth:`AxProduct` would silently run at full
+        precision and defeat the refinement, so there is no default."""
+        raise NotImplementedError(
+            "override AxProductLow with a fast-dtype product to use "
+            "MinimizeRefined"
+        )
+
     def Progress(self, x, residual, t):
         """Traced monitor; return True to stop (lcg.h:53-54 contract)."""
         return False
@@ -168,6 +179,41 @@ class LCGSolver(SolverBase):
                             method: str = "spg",
                             params: Optional[SolverParams] = None) -> SolveResult:
         return self._run(method, b, x0, lower=lower, upper=upper, params=params)
+
+    def MinimizeRefined(self, b, x0=None, method: str = "cg",
+                        inner_dtype=jnp.float32,
+                        params: Optional[SolverParams] = None,
+                        max_refinements: int = 8) -> SolveResult:
+        """Mixed-precision iterative refinement through the class API:
+        the outer correction runs on :meth:`AxProduct` (working
+        precision) and the inner engine on :meth:`AxProductLow` (the
+        fast dtype; must be overridden).  ``method="pcg"`` additionally
+        applies :meth:`MxProduct` inside the inner engine.  No reference
+        counterpart — its only mixed-precision story is the float copy
+        of the complex library (clcg_cudaf.h)."""
+        if type(self).AxProductLow is SolverBase.AxProductLow:
+            raise NotImplementedError(
+                "override AxProductLow with a fast-dtype product to use "
+                "MinimizeRefined"
+            )
+        from .solvers.refine import solve_refined
+
+        params = params or self._params
+        b = jnp.asarray(b, dtype=self.dtype)
+        A = self._operator(b)
+        A_low = MatrixFreeOperator(self.AxProductLow, n=len(b),
+                                   dtype=jnp.dtype(inner_dtype))
+        M_low = self.MxProduct if method == "pcg" else None
+        t0 = time.perf_counter()
+        result = solve_refined(
+            A, b, x0, method=method, params=params,
+            inner_dtype=inner_dtype, A_low=A_low, M_low=M_low,
+            max_refinements=max_refinements,
+        )
+        np.asarray(result.x)
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        self._report(method, result, elapsed_ms)
+        return result
 
 
 class CLCGSolver(SolverBase):

@@ -353,3 +353,58 @@ def test_ir_batched_guards():
                                   M=lcg.JacobiPreconditioner(A))
     with pytest.raises(ValueError, match=r"\(nrhs, n\)"):
         lcg.solve_refined_batched(A, B[0])
+
+
+def test_class_api_minimize_refined():
+    """LCGSolver.MinimizeRefined: class-callback refinement with an
+    explicit low-precision product."""
+    d64 = jnp.linspace(2.0, 5.0, 128).astype(jnp.float64)
+    d32 = d64.astype(jnp.float32)
+
+    class S(lcg.LCGSolver):
+        def AxProduct(self, x):
+            return d64 * x
+
+        def AxProductLow(self, x):
+            return d32 * x
+
+    s = S(dtype=jnp.float64).silent()
+    b = jnp.ones((128,), jnp.float64)
+    r = s.MinimizeRefined(b, params=lcg.SolverParams(epsilon=EPS_F64))
+    assert int(r.status_code) == int(lcg.Status.CONVERGENCE)
+    np.testing.assert_allclose(np.asarray(r.x), 1.0 / np.asarray(d64),
+                               rtol=1e-12)
+
+    class NoLow(lcg.LCGSolver):
+        def AxProduct(self, x):
+            return d64 * x
+
+    with pytest.raises(NotImplementedError, match="AxProductLow"):
+        NoLow(dtype=jnp.float64).silent().MinimizeRefined(b)
+
+
+def test_ir_refined_cgnr_complex_case1k():
+    """Refinement composes with the scattered-complex recipe: f64 CGNR
+    on the realified case_1K with f32 inner Jacobi-PCG normal-equation
+    solves — full f64-class residual from f32-speed iterations."""
+    import os
+    if not os.path.exists("/root/reference/data/case_1K_cA"):
+        pytest.skip("reference data not present")
+    from liblcg_tpu.utils import io
+
+    s = io.read_system("/root/reference/data/case_1K_cA",
+                       complex_values=True)
+    ans = io.read_answer("/root/reference/data/case_1K_cB",
+                         complex_values=True)
+    r2, c2, v2 = lcg.realify_coo(s.rows, s.cols, s.vals)
+    A2 = lcg.make_sparse_operator(2 * s.n, 2 * s.n, r2, c2, v2,
+                                  format="ell")
+    NE = lcg.NormalEqOperator(A2)
+    rhs = A2.rmv(jnp.asarray(lcg.split_complex_interleaved(s.b)))
+    M = lcg.JacobiPreconditioner(NE)
+    r = lcg.solve_refined(NE, rhs, method="pcg", M=M,
+                          params=lcg.SolverParams(epsilon=1e-26),
+                          max_refinements=10)
+    assert int(r.status_code) == int(lcg.Status.CONVERGENCE)
+    x = lcg.merge_complex_interleaved(np.asarray(r.x))
+    assert float(np.max(np.abs(x - ans))) < 1e-8
