@@ -711,7 +711,11 @@ def _run_group(names, deadline, cap, env):
         wait = min(next_deadline, deadline) - time.monotonic()
         if wait <= 0:
             proc.kill()
-            in_flight = next(n for n in names if n not in done)
+            in_flight = next((n for n in names if n not in done), None)
+            if in_flight is None:
+                # Every workload completed; the child just hung in
+                # backend teardown — results are whole.
+                return results, None, False
             why = ("budget exhausted" if deadline <= next_deadline
                    else "tunnel stall")
             _note(f"{in_flight} killed ({why})")

@@ -536,12 +536,16 @@ class ScaledOperator(LinearOperator):
         return self.alpha * self.inner.diagonal()
 
     def astype(self, dtype):
-        real_dt = jnp.dtype(dtype)
-        alpha = (self.alpha.real.astype(real_dt)
-                 if not jnp.issubdtype(real_dt, jnp.complexfloating)
-                 and jnp.issubdtype(self.alpha.dtype, jnp.complexfloating)
-                 else self.alpha.astype(dtype))
-        return ScaledOperator(alpha, self.inner.astype(dtype))
+        dt = jnp.dtype(dtype)
+        if (jnp.issubdtype(self.alpha.dtype, jnp.complexfloating)
+                and not jnp.issubdtype(dt, jnp.complexfloating)):
+            raise ValueError(
+                "cannot cast a complex-scaled operator to a real dtype "
+                "(dropping the imaginary part would change the operator); "
+                "realify the composition instead"
+            )
+        return ScaledOperator(self.alpha.astype(dtype),
+                              self.inner.astype(dtype))
 
 
 def _scaled_flatten(op):

@@ -525,11 +525,14 @@ def _cgs_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,
         return rmod / xmod
 
     def cond(c):
-        x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
+        x, rk, pk, uk, rkr0T, rmod, xmod, t = c
         return (metric(rmod, xmod) > eps) & (t < max_iter)
 
     def body(c):
-        x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
+        # qk is not carried: the recurrence only ever uses THIS
+        # iteration's qk1 = uk - ak*apk (uk1 and pk1 both read qk1, never
+        # the previous iteration's value) — one less VMEM plane.
+        x, rk, pk, uk, rkr0T, rmod, xmod, t = c
         apk = dia_mv_of(pk)
         AprT = jnp.sum(apk * r0T_ref[...])        # lcg.cpp:548-552
         ak = rkr0T / AprT
@@ -542,13 +545,12 @@ def _cgs_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,
         betak = rkr0T1 / rkr0T                    # lcg.cpp:589
         uk1 = rk + betak * qk1
         pk1 = uk1 + betak * (qk1 + betak * pk)
-        return (x, rk, pk1, uk1, qk1, rkr0T1, jnp.sum(rk * rk),
+        return (x, rk, pk1, uk1, rkr0T1, jnp.sum(rk * rk),
                 jnp.maximum(jnp.sum(x * x), 1.0), t + 1)
 
-    x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = lax.while_loop(
+    x, rk, pk, uk, rkr0T, rmod, xmod, t = lax.while_loop(
         cond, body,
-        (x, r0, r0, r0, jnp.zeros_like(r0), rkr0T0, rmod0, xmod0,
-         jnp.int32(0)),
+        (x, r0, r0, r0, rkr0T0, rmod0, xmod0, jnp.int32(0)),
     )
     x_out[...] = x
     t_out[0, 0] = t
@@ -742,6 +744,54 @@ def pallas_bicgstab_dia(
 BICGSTAB_VEC_BUFFERS = 12
 
 
+#: Methods with a whole-solve kernel, per batching mode.
+SINGLE_KERNEL_METHODS = ("cg", "pcg", "cgs", "bicgstab")
+BATCHED_KERNEL_METHODS = ("cg", "pcg", "cgs")
+
+
+def kernel_ineligibility(A, value_dtype, method: str, M, reduce_dtype,
+                         *, batched: bool = False, nrhs: int = 0):
+    """The ONE routing predicate every kernel dispatcher consults.
+
+    Returns ``None`` when (A, dtype, method, M) can run on the
+    whole-solve VMEM kernel family, else a human-readable reason — the
+    shared core of ``solve.py``'s ``_try_pallas_cg(_batched)`` and
+    ``refine.py``'s eligibility checks, so the rules cannot drift
+    between the four dispatch sites.  Caller-specific conditions
+    (monitor/trace support, cpu-backend policy, pallas=never/always
+    semantics) stay with the callers."""
+    from ..operators import BandedOperator
+
+    methods = BATCHED_KERNEL_METHODS if batched else SINGLE_KERNEL_METHODS
+    if method not in methods:
+        kind = "batched " if batched else ""
+        return f"no {kind}VMEM kernel for method {method!r}"
+    if reduce_dtype is not None:
+        return ("the kernel accumulates in f32 only "
+                "(reduce_dtype is not supported)")
+    if not isinstance(A, BandedOperator):
+        return "the operator is not a BandedOperator (DIA)"
+    if (jnp.dtype(value_dtype) != jnp.float32
+            or jnp.dtype(A.dtype) != jnp.float32):
+        return "the kernel is float32-only (Mosaic has no f64)"
+    if method == "pcg" and getattr(M, "inv_diag", None) is None:
+        return ("pcg kernel needs a diagonal preconditioner "
+                "(JacobiPreconditioner)")
+    n = A.shape[0]
+    if batched:
+        census = (dict(n_vec_buffers=BATCHED_CGS_VEC_BUFFERS)
+                  if method == "cgs" else {})
+        if not fits_in_vmem_batched(n, A.n_diagonals, nrhs, **census):
+            return (f"state for n={n} x {nrhs} RHS exceeds the VMEM "
+                    "budget")
+    else:
+        census = (dict(n_vec_buffers=BICGSTAB_VEC_BUFFERS)
+                  if method == "bicgstab" else {})
+        if not fits_in_vmem(n, A.n_diagonals, **census):
+            return f"state for n={n} exceeds the VMEM budget"
+    return None
+
+
 def _pcg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
                         abs_diff,
                         vals_ref, invd_ref, b_ref, x0_ref,
@@ -813,10 +863,10 @@ def _pcg_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
     res_out[...] = metric(rmod, xmod)
 
 
-#: Batched CGS carries five (nrhs, n) state planes (x, r, p, u, q) plus
+#: Batched CGS carries four (nrhs, n) state planes (x, r, p, u) plus
 #: the shadow residual and two in-flight products — wider than batched
 #: CG/PCG's census.
-BATCHED_CGS_VEC_BUFFERS = 14
+BATCHED_CGS_VEC_BUFFERS = 12
 
 
 def _cgs_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
@@ -857,12 +907,14 @@ def _cgs_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
         return (metric(rmod, xmod) > eps) & (t < max_iter)
 
     def cond(c):
-        x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
+        x, rk, pk, uk, rkr0T, rmod, xmod, t = c
         return jnp.max(
             alive_of(rmod, xmod, t).astype(jnp.int32)) > 0
 
     def body(c):
-        x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = c
+        # qk is not carried (see _cgs_kernel): only this iteration's qk1
+        # is ever read — one less (nrhs, n) VMEM plane.
+        x, rk, pk, uk, rkr0T, rmod, xmod, t = c
         alive = alive_of(rmod, xmod, t)
         apk = dia_mv_of(pk)
         AprT = rowsum(apk * r0T_ref[...])
@@ -878,16 +930,15 @@ def _cgs_kernel_batched(offsets, pad_l, pad_r, n, nrhs, eps, max_iter,
         pk1 = uk1 + betak * (qk1 + betak * pk)
         pk = jnp.where(alive, pk1, pk)
         uk = jnp.where(alive, uk1, uk)
-        qk = jnp.where(alive, qk1, qk)
         rkr0T = jnp.where(alive, rkr0T1, rkr0T)
         rmod = jnp.where(alive, rowsum(rk1 * rk1), rmod)
         xmod = jnp.where(alive, jnp.maximum(rowsum(x1 * x1), 1.0), xmod)
-        return (x1, rk1, pk, uk, qk, rkr0T, rmod, xmod,
+        return (x1, rk1, pk, uk, rkr0T, rmod, xmod,
                 t + alive.astype(jnp.int32))
 
-    x, rk, pk, uk, qk, rkr0T, rmod, xmod, t = lax.while_loop(
+    x, rk, pk, uk, rkr0T, rmod, xmod, t = lax.while_loop(
         cond, body,
-        (x, r0, r0, r0, jnp.zeros_like(r0), rkr0T0, rmod0, xmod0,
+        (x, r0, r0, r0, rkr0T0, rmod0, xmod0,
          jnp.zeros((nrhs, 1), jnp.int32)),
     )
     x_out[...] = x

@@ -87,7 +87,19 @@ class IncompleteFactorization(NamedTuple):
         if mode != "levels":
             off = self.l_rows - self.l_cols
             w = int(off.max()) if len(off) else 0
-            if mode == "blocked" or w <= 1024:
+            # auto takes the blocked (MXU) form only when its dense
+            # block-diagonal storage is sane: device memory is O(n * m)
+            # and the host factor-inversion work O((n/m) * m^3) for block
+            # size m ~ bandwidth.  A wide band on a large n (e.g. a
+            # 1000-wide 2-D grid ordering at n=1e6) would silently cost
+            # gigabytes / minutes — fall back to the level-scheduled form
+            # there; mode="blocked" still forces it for callers who know.
+            # blocked_schedule's default block: bandwidth rounded up to a
+            # multiple of 128, min 128.
+            m_eff = max(((max(w, 1) + 127) // 128) * 128, 128)
+            sane = (self.n * m_eff * 8 <= 256 * 1024 * 1024
+                    and (self.n / m_eff) * m_eff ** 3 <= 5e10)
+            if mode == "blocked" or (w <= 1024 and sane):
                 from .blocked_tri import (
                     BlockedTriangularPreconditioner,
                     blocked_schedule,

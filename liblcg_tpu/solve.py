@@ -229,7 +229,6 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
     accelerates (lcg_cuda.cu:44-55); PCG requires a diagonal
     preconditioner (JacobiPreconditioner).  Returns a SolveResult, or
     None when the solve is ineligible and ``required`` is False."""
-    from .operators import BandedOperator
 
     def fail(msg):
         if required:
@@ -238,33 +237,20 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
 
     if monitor is not None or trace_len > 0:
         return fail("the kernel does not support monitor/trace")
-    if params.reduce_dtype is not None:
-        return fail("the kernel accumulates in f32 only "
-                    "(reduce_dtype is not supported)")
-    if not isinstance(A, BandedOperator):
-        return fail("the operator is not a BandedOperator (DIA)")
-    if jnp.dtype(b.dtype) != jnp.float32 or jnp.dtype(A.dtype) != jnp.float32:
-        return fail("the kernel is float32-only (Mosaic has no f64)")
-    inv_diag = None
-    if M is not None:
-        inv_diag = getattr(M, "inv_diag", None)
-        if inv_diag is None:
-            return fail("pcg kernel needs a diagonal preconditioner "
-                        "(JacobiPreconditioner)")
     from .ops.pallas_cg import (
-        BICGSTAB_VEC_BUFFERS,
-        fits_in_vmem,
+        kernel_ineligibility,
         pallas_bicgstab_dia,
         pallas_cg_dia,
         pallas_cgs_dia,
         pallas_pcg_dia,
     )
 
+    reason = kernel_ineligibility(A, b.dtype, method, M,
+                                  params.reduce_dtype)
+    if reason is not None:
+        return fail(reason)
+    inv_diag = getattr(M, "inv_diag", None) if M is not None else None
     n = A.shape[0]
-    census = dict(n_vec_buffers=BICGSTAB_VEC_BUFFERS) if (
-        method == "bicgstab") else {}
-    if not fits_in_vmem(n, A.n_diagonals, **census):
-        return fail(f"state for n={n} exceeds the VMEM budget")
     interpret = jax.default_backend() == "cpu"
     if interpret and not required:
         return None  # the interpreter is far slower than the XLA loop
@@ -466,7 +452,6 @@ def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required,
                            M=None, method="cg"):
     """Multi-RHS analogue of :func:`_try_pallas_cg`: route an eligible f32
     CG/Jacobi-PCG stack to the batched VMEM kernel."""
-    from .operators import BandedOperator
 
     def fail(msg):
         if required:
@@ -475,22 +460,8 @@ def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required,
 
     if monitor is not None:
         return fail("the kernel does not support monitor")
-    if params.reduce_dtype is not None:
-        return fail("the kernel accumulates in f32 only "
-                    "(reduce_dtype is not supported)")
-    if not isinstance(A, BandedOperator):
-        return fail("the operator is not a BandedOperator (DIA)")
-    if jnp.dtype(B.dtype) != jnp.float32 or jnp.dtype(A.dtype) != jnp.float32:
-        return fail("the kernel is float32-only (Mosaic has no f64)")
-    inv_diag = None
-    if M is not None:
-        inv_diag = getattr(M, "inv_diag", None)
-        if inv_diag is None:
-            return fail("pcg kernel needs a diagonal preconditioner "
-                        "(JacobiPreconditioner)")
     from .ops.pallas_cg import (
-        BATCHED_CGS_VEC_BUFFERS,
-        fits_in_vmem_batched,
+        kernel_ineligibility,
         pallas_cg_dia_batched,
         pallas_cgs_dia_batched,
         pallas_pcg_dia_batched,
@@ -498,10 +469,12 @@ def _try_pallas_cg_batched(A, B, X0, params, monitor, *, required,
 
     n = A.shape[0]
     nrhs = B.shape[0]
-    census = dict(n_vec_buffers=BATCHED_CGS_VEC_BUFFERS) if (
-        method == "cgs") else {}
-    if not fits_in_vmem_batched(n, A.n_diagonals, nrhs, **census):
-        return fail(f"state for n={n} x {nrhs} RHS exceeds the VMEM budget")
+    reason = kernel_ineligibility(A, B.dtype, method, M,
+                                  params.reduce_dtype, batched=True,
+                                  nrhs=nrhs)
+    if reason is not None:
+        return fail(reason)
+    inv_diag = getattr(M, "inv_diag", None) if M is not None else None
     interpret = jax.default_backend() == "cpu"
     if interpret and not required:
         return None

@@ -189,8 +189,13 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
             # First product at which each system met the tolerance — the
             # per-system iteration count (matches a single solve even
             # when the batch keeps the cycle running for harder systems).
-            jconv = jnp.where((jconv < 0) & (res_j <= params.epsilon),
-                              j + 1, jconv)
+            # ... but only within the system's own product budget: a
+            # system kept in the cycle by slower batchmates must not
+            # report a convergence it was not entitled to reach (its
+            # correction is budget-truncated in the back-substitution).
+            jconv = jnp.where(
+                (jconv < 0) & (res_j <= params.epsilon) & (j < budget),
+                j + 1, jconv)
             return V, R, cs, sn, g, phibar, j + 1, trace, jconv
 
         V, R, cs, sn, g, phibar, j_taken, trace, jconv = lax.while_loop(
@@ -202,10 +207,12 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
         # Back-substitution on the rotated (upper-triangular) system.
         # Unused columns (>= j_taken) have zero rows -> safe unit diagonal
         # and zeroed rhs give y = 0 there.
-        col = jnp.arange(m)
-        g_m = jnp.where(
-            (col < j_taken).reshape((m,) + (1,) * len(bshape)), g[:m], 0
-        )
+        col = jnp.arange(m).reshape((m,) + (1,) * len(bshape))
+        # Per-system truncation: a budget-exhausted system uses only the
+        # first budget_i columns (its g entries below that index were
+        # finalized by rotation budget_i-1, so this is exactly its own
+        # budget_i-step correction even though batchmates kept rotating).
+        g_m = jnp.where(col < jnp.minimum(j_taken, budget), g[:m], 0)
         y0 = jnp.zeros_like(g_m)
 
         def back_body(i, y):

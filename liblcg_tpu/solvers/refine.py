@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..operators import BandedOperator, LinearOperator, aslinearoperator
+from ..operators import LinearOperator, aslinearoperator
 from ..types import DEFAULT_PARAMS, SolverParams, SolveResult, Status
 from . import harness as H
 from . import real as _real
@@ -79,36 +79,20 @@ def _default_inner_params(outer: SolverParams, lo: jnp.dtype) -> SolverParams:
 
 def _pallas_eligible(A_low, m: str, M_low, inner_params: SolverParams,
                      pallas: str) -> bool:
-    """Trace-time routing mirror of ``solve.py:_try_pallas_cg``: send the
-    inner correction solves to the whole-solve VMEM kernel when legal."""
-    if pallas == "never" or m not in ("cg", "pcg", "cgs"):
+    """Trace-time routing decision for the inner correction solves: the
+    shared kernel predicate (:func:`..ops.pallas_cg.kernel_ineligibility`
+    — ONE copy of the rules for all dispatch sites) plus the
+    pallas=never/always and cpu-backend policies that belong here."""
+    if pallas == "never":
         return False
-    if inner_params.reduce_dtype is not None:
-        if pallas == "always":
-            raise ValueError("pallas='always' but the kernels accumulate "
-                             "in f32 only (inner reduce_dtype is set)")
-        return False
-    if not isinstance(A_low, BandedOperator):
-        if pallas == "always":
-            raise ValueError("pallas='always' but A_low is not a "
-                             "BandedOperator (DIA)")
-        return False
-    if jnp.dtype(A_low.dtype) != jnp.float32:
-        if pallas == "always":
-            raise ValueError("pallas='always' but the inner dtype is not "
-                             "float32 (Mosaic has no f64)")
-        return False
-    if m == "pcg" and getattr(M_low, "inv_diag", None) is None:
-        if pallas == "always":
-            raise ValueError("pallas='always' but the pcg kernel needs a "
-                             "diagonal preconditioner (JacobiPreconditioner)")
-        return False
-    from ..ops.pallas_cg import fits_in_vmem
+    from ..ops.pallas_cg import kernel_ineligibility
 
-    if not fits_in_vmem(A_low.shape[0], A_low.n_diagonals):
+    reason = kernel_ineligibility(
+        A_low, getattr(A_low, "dtype", jnp.float32), m, M_low,
+        inner_params.reduce_dtype)
+    if reason is not None:
         if pallas == "always":
-            raise ValueError(f"pallas='always' but state for "
-                             f"n={A_low.shape[0]} exceeds the VMEM budget")
+            raise ValueError(f"pallas='always' but {reason}")
         return False
     if jax.default_backend() == "cpu" and pallas != "always":
         return False  # interpreter is far slower than the XLA loop
@@ -276,6 +260,11 @@ def _build_ir(fn, m, params, inner_params, max_refinements, trace_len,
                 elif m == "cgs":
                     d, t, _ = pallas_cgs_dia(
                         A_low.offsets, A_low.diag_vals, r_lo, z, **common)
+                elif m == "bicgstab":
+                    from ..ops.pallas_cg import pallas_bicgstab_dia
+
+                    d, t, _ = pallas_bicgstab_dia(
+                        A_low.offsets, A_low.diag_vals, r_lo, z, **common)
                 else:
                     d, t, _ = pallas_cg_dia(
                         A_low.offsets, A_low.diag_vals, r_lo, z, **common)
@@ -356,40 +345,18 @@ def _build_ir(fn, m, params, inner_params, max_refinements, trace_len,
 
 def _pallas_eligible_batched(A_low, m, M_low, inner_params, pallas,
                              nrhs: int) -> bool:
-    """Batched mirror of :func:`_pallas_eligible` (multi-RHS kernels:
-    cg / Jacobi-pcg / cgs)."""
-    if pallas == "never" or m not in ("cg", "pcg", "cgs"):
+    """Batched mirror of :func:`_pallas_eligible` (same shared
+    predicate, batched census)."""
+    if pallas == "never":
         return False
-    if inner_params.reduce_dtype is not None:
-        if pallas == "always":
-            raise ValueError("pallas='always' but the kernels accumulate "
-                             "in f32 only (inner reduce_dtype is set)")
-        return False
-    if not isinstance(A_low, BandedOperator):
-        if pallas == "always":
-            raise ValueError("pallas='always' but A_low is not a "
-                             "BandedOperator (DIA)")
-        return False
-    if jnp.dtype(A_low.dtype) != jnp.float32:
-        if pallas == "always":
-            raise ValueError("pallas='always' but the inner dtype is not "
-                             "float32 (Mosaic has no f64)")
-        return False
-    if m == "pcg" and getattr(M_low, "inv_diag", None) is None:
-        if pallas == "always":
-            raise ValueError("pallas='always' but the pcg kernel needs a "
-                             "diagonal preconditioner (JacobiPreconditioner)")
-        return False
-    from ..ops.pallas_cg import (
-        BATCHED_CGS_VEC_BUFFERS, fits_in_vmem_batched)
+    from ..ops.pallas_cg import kernel_ineligibility
 
-    census = (dict(n_vec_buffers=BATCHED_CGS_VEC_BUFFERS)
-              if m == "cgs" else {})
-    if not fits_in_vmem_batched(A_low.shape[0], A_low.n_diagonals, nrhs,
-                                **census):
+    reason = kernel_ineligibility(
+        A_low, getattr(A_low, "dtype", jnp.float32), m, M_low,
+        inner_params.reduce_dtype, batched=True, nrhs=nrhs)
+    if reason is not None:
         if pallas == "always":
-            raise ValueError("pallas='always' but the batched state "
-                             "exceeds the VMEM budget")
+            raise ValueError(f"pallas='always' but {reason}")
         return False
     if jax.default_backend() == "cpu" and pallas != "always":
         return False

@@ -23,15 +23,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
-# Persistent compile cache (shared with bench.py's .jax_cache): CPU-backend
-# entries key separately from the TPU ones, and repeat suite runs skip
-# recompiling the unchanged solver graphs.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NO persistent compile cache for the CPU test suite: XLA:CPU AOT cache
+# entries embed the compile-time machine-feature set, and the loader
+# warns ("+prefer-no-scatter is not supported on the host machine ...
+# could lead to execution errors such as SIGILL") when features drift —
+# observed here as wildly erratic weak-scaling timings from cached
+# executables.  The .jax_cache dir remains the TPU bench's stall-wave
+# defence (bench.py:_subprocess_env); the CPU suite recompiles.
 
 import numpy as np
 import pytest

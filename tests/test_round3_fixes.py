@@ -198,3 +198,28 @@ def test_normal_eq_diagonal_raises_for_matrix_free():
     op = lcg.MatrixFreeOperator(lambda v: v, n=8, dtype=jnp.float64)
     with pytest.raises(NotImplementedError, match="col_sq_norms"):
         lcg.NormalEqOperator(op).diagonal()
+
+
+def test_gmres_batched_convergence_respects_per_system_budget():
+    """A batched system kept in a cycle by slower batchmates must not
+    report convergence past its own max_iterations budget, and its
+    correction is truncated to its budget (code-review r3 finding)."""
+    rng = np.random.default_rng(5)
+    n = 48
+    # easy: well-conditioned diag; hard: wide-spread spectrum
+    d_hard = np.logspace(0, 4, n)
+    A_hard = lcg.DenseOperator(np.diag(d_hard))
+    # One operator, two right-hand sides of very different difficulty:
+    # a spectrum-aligned rhs converges in ~1 product, a random one needs
+    # many — so cycles keep running past the easy system's budget.
+    b_easy = np.zeros(n); b_easy[0] = 1.0
+    b_hard = rng.normal(size=n)
+    B = jnp.asarray(np.stack([b_easy, b_hard]))
+    cap = 5
+    p = lcg.SolverParams(epsilon=1e-20, max_iterations=cap)
+    r = lcg.solve_batched(A_hard, B, method="gmres", restart=8, params=p)
+    t = np.asarray(r.iterations)
+    st = np.asarray(r.status_code)
+    assert np.all(t <= cap + 1), t
+    conv = st == int(lcg.Status.CONVERGENCE)
+    assert np.all(t[conv] <= cap), (t, st)
