@@ -14,7 +14,9 @@ reference (single-process OpenMP / single GPU) never had:
 - first-class multi-chip scaling over a ``jax.sharding.Mesh``
   (``parallel``): row-partitioned/DIA/stencil operators with ppermute
   halos, psum'd reductions, block-Jacobi IC, multi-process execution;
-- multi-RHS batched solves (``solve_batched``), composable with sharding;
+- multi-RHS batched solves (``solve_batched``), composable with sharding,
+  plus block CG (``block_cg``/``block_pcg``): all RHS share one block
+  Krylov space — fewer iterations, MXU-matmul Gram reductions;
 - complex systems on complex-less backends via ``realify``.
 
 Design principles (vs. the reference):

@@ -177,6 +177,54 @@ def bench_case10k():
     }
     if dev is not None:
         out["device_ms"] = dev * 1e3
+
+    # Block CG (solvers/block.py): the same 32-RHS stack through ONE
+    # shared block Krylov space — fewer iterations (the block deflates
+    # the smallest eigenvalues) with MXU-matmul Gram reductions, vs the
+    # independent vmapped recurrences of solve_batched.  Measured in f32,
+    # block CG's regime on this chip: the (s, n) Gram/update matmuls are
+    # MXU-native in f32 but software-emulated (~12x) in f64
+    # (profiling/probe_r3_block.json — f64 block is iteration-fewer yet
+    # wall-slower; use batched CG or refinement for f64 stacks).  Both
+    # engines run the SAME seeded-random stack (distinct RHS — the scaled
+    # stack above is collinear, a rank-1 block space) to the same eps.
+    from liblcg_tpu.solve import _VmappedOperator
+    from liblcg_tpu.solvers import harness as H
+    from liblcg_tpu.solvers.block import block_cg
+
+    A32 = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                   sys_.vals, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    B32 = jnp.asarray(np.vstack(
+        [np.asarray(b)]
+        + [rng.standard_normal(sys_.n) for _ in range(nrhs - 1)]),
+        jnp.float32)
+    p32 = lcg.SolverParams(epsilon=1e-9)
+    rb = lcg.solve_batched(A32, B32, method="block_cg", params=p32)
+    np.asarray(rb.x[0, :4])
+    rc = lcg.solve_batched(A32, B32, method="cg", params=p32,
+                           pallas="never")
+    out["block32_f32_iterations"] = int(np.max(rb.iterations))
+    out["block32_converged"] = bool(np.all(np.asarray(rb.status_code) == 0))
+    out["batched32_f32_iterations"] = int(np.max(rc.iterations))
+
+    def one_block(B_):
+        return block_cg(_VmappedOperator(A32), B_, params=p32)["x"]
+
+    def one_batched(B_):
+        with H.batched():
+            return _real.cg(_VmappedOperator(A32), B_, params=p32)["x"]
+
+    try:
+        with jax.enable_x64(False):
+            dev_blk, _ = _slope(one_block, B32, K=16)
+            if dev_blk is not None:
+                out["block32_f32_device_ms_per_stack"] = dev_blk * 1e3
+            dev_bat, _ = _slope(one_batched, B32, K=16)
+            if dev_bat is not None:
+                out["batched32_f32_device_ms_per_stack"] = dev_bat * 1e3
+    except Exception:
+        pass
     return out
 
 
@@ -902,6 +950,18 @@ def main():
             out["case10k_wall_vs_baseline"] = round(
                 c10k_base / c10k["wall_ms"], 3
             )
+        if "block32_f32_iterations" in c10k:
+            out["case10k_block32_f32_iterations"] = c10k[
+                "block32_f32_iterations"]
+            out["case10k_block32_converged"] = c10k["block32_converged"]
+            out["case10k_batched32_f32_iterations"] = c10k[
+                "batched32_f32_iterations"]
+        if "block32_f32_device_ms_per_stack" in c10k:
+            out["case10k_block32_f32_device_ms_per_stack"] = round(
+                c10k["block32_f32_device_ms_per_stack"], 2)
+        if "batched32_f32_device_ms_per_stack" in c10k:
+            out["case10k_batched32_f32_device_ms_per_stack"] = round(
+                c10k["batched32_f32_device_ms_per_stack"], 2)
     if cplx is not None:
         out["complex100k_realified_cgs_wall_ms"] = round(cplx["wall_ms"], 2)
         out["complex100k_iterations"] = cplx["iterations"]

@@ -144,6 +144,13 @@ def solve_sharded(
     is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
+    from ..solve import _BLOCK_METHODS
+
+    if m in _BLOCK_METHODS and nrhs is None:
+        raise ValueError(
+            f"method {m!r} solves a stack of right-hand sides in one shared "
+            f"block Krylov space; pass b of shape (nrhs, n)"
+        )
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
                                                 lmin=lmin, lmax=lmax,
                                                 restart=restart)

@@ -56,6 +56,8 @@ _ALIASES = {
     "cgf": "cg_fused",
     "cgp": "cg_pipelined",
     "pcgp": "pcg_pipelined",
+    "bcg": "block_cg",
+    "bpcg": "block_pcg",
     "LCG_CG": "cg",
     "LCG_PCG": "pcg",
     "LCG_CGS": "cgs",
@@ -75,6 +77,10 @@ _ALIASES = {
 #: Methods available in BOTH domains beyond the per-domain tables.
 _EXTRA_METHODS = ("chebyshev", "gmres", "pgmres", "minres", "pminres")
 
+#: Multi-RHS-only methods (shared block Krylov space, solvers/block.py):
+#: real SPD systems, dispatched through :func:`solve_batched` exclusively.
+_BLOCK_METHODS = ("block_cg", "block_pcg")
+
 #: Suggested preconditioned counterpart, for the M-with-unpreconditioned-
 #: method error message (the reference routes preconditioned solves to a
 #: separate dispatcher, lcg.cpp:87-91; passing M anywhere else is a bug).
@@ -83,9 +89,10 @@ _PRECONDITIONED_OF = {
     "gmres": "pgmres", "minres": "pminres", "bicg": "pbicg",
     "bicg_sym": "pbicg", "cgs": "pcg", "bicgstab": "pcg",
     "bicgstab2": "pcg", "tfqmr": "pcg", "chebyshev": "pcg",
+    "block_cg": "block_pcg",
 }
 
-REAL_METHODS = tuple(_REAL_METHODS) + _EXTRA_METHODS
+REAL_METHODS = tuple(_REAL_METHODS) + _EXTRA_METHODS + _BLOCK_METHODS
 COMPLEX_METHODS = tuple(_CPLX_METHODS) + ("gmres", "pgmres")
 
 
@@ -93,7 +100,7 @@ def canonical_method(method: str) -> str:
     """Resolve a method name or reference enum spelling to its short name."""
     m = _ALIASES.get(method, method).lower()
     if (m not in _REAL_METHODS and m not in _CPLX_METHODS
-            and m not in _EXTRA_METHODS):
+            and m not in _EXTRA_METHODS and m not in _BLOCK_METHODS):
         raise ValueError(
             f"unknown solver {method!r}; real methods: {sorted(REAL_METHODS)}, "
             f"complex methods: {sorted(COMPLEX_METHODS)}"
@@ -115,6 +122,17 @@ def _resolve_engine(m: str, is_complex: bool, A=None, lmin=None, lmax=None,
     strictly inside the right half-line for SPD systems).  GMRES bakes its
     restart length the same way.
     """
+    if m in _BLOCK_METHODS:
+        from .solvers.block import block_cg, block_pcg
+
+        if is_complex:
+            raise ValueError(
+                "block_cg/block_pcg are real-SPD methods; for complex "
+                "systems realify the operator first"
+            )
+        if m == "block_pcg":
+            return block_pcg, True, False
+        return block_cg, False, False
     if m in ("minres", "pminres"):
         from .solvers.minres import minres as _minres
         from .solvers.minres import pminres as _pminres
@@ -352,6 +370,12 @@ def solve(
     check : if True, raise LcgError on failure statuses.
     """
     m = canonical_method(method)
+    if m in _BLOCK_METHODS:
+        raise ValueError(
+            f"method {m!r} solves a stack of right-hand sides in one shared "
+            f"block Krylov space; call solve_batched(A, B, method={m!r}) "
+            f"with B of shape (nrhs, n)"
+        )
     b = jnp.asarray(b)
     A = aslinearoperator(A, n=b.shape[0], dtype=b.dtype) if not isinstance(
         A, LinearOperator
@@ -445,6 +469,7 @@ BATCHED_METHODS = frozenset(
     {"cg", "pcg", "cg_fused", "cg_pipelined", "pcg_pipelined", "cgs", "bicgstab",
      "bicgstab2", "bicg", "bicg_sym", "pbicg", "chebyshev", "pg",
      "spg", "tfqmr", "gmres", "pgmres", "minres", "pminres"}
+    | set(_BLOCK_METHODS)
 )
 
 
@@ -539,6 +564,66 @@ class _VmappedOperator:
         return jax.vmap(self._op.hmv)(X)
 
 
+def _solve_block(A, B, X0, m, *, params, M, monitor, is_complex, check):
+    """Dispatch ``solve_batched(method='block_cg'/'block_pcg')`` to the
+    shared-Krylov block engine (solvers/block.py).  Same result contract as
+    the vmapped batched path: per-system status/iterations/residual."""
+    from .solvers import harness as H
+    from .solvers.block import block_cg
+
+    if is_complex:
+        raise ValueError(
+            "block_cg/block_pcg are real-SPD methods; for complex systems "
+            "realify the operator first (operators.realify_coo) and solve "
+            "the interleaved real form"
+        )
+    err = params.validate(for_method=m)
+    if err is not None:
+        return _error_result(B if X0 is None else X0, err)
+    if m == "block_cg" and M is not None:
+        raise ValueError(
+            "method 'block_cg' does not use a preconditioner; M would be "
+            "silently ignored.  Use 'block_pcg' or drop M."
+        )
+    if m == "block_pcg" and M is None:
+        return _error_result(B, Status.NULL_PRECONDITION_MATRIX)
+    X0_arr = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, dtype=B.dtype)
+
+    M_static = M is not None and not isinstance(M, LinearOperator)
+    cache_key = ("block", params, monitor, M is not None,
+                 M if M_static else None)
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is None:
+        def run(A_t, B_t, X0_t, *extras):
+            Ab = _VmappedOperator(A_t)
+            Mb = None
+            if M is not None:
+                Mb = (lambda X: jax.vmap(M)(X)) if M_static else \
+                    _VmappedOperator(extras[0]).mv
+            with H.reduction_dtype(params.reduce_dtype):
+                return block_cg(Ab, B_t, X0_t, M=Mb, params=params,
+                                monitor=monitor)
+
+        jitted = jax.jit(run)
+        _JIT_CACHE[cache_key] = jitted
+
+    extras = [] if (M is None or M_static) else [M]
+    carry = jitted(A, B, X0_arr, *extras)
+    result = SolveResult(
+        x=carry["x"],
+        status_code=carry["status"],
+        iterations=carry["t"],
+        residual=carry["residual"],
+        trace=None,
+    )
+    if check:
+        from .utils.errors import check_status
+
+        for s in np.asarray(result.status_code):
+            check_status(s, raise_error=True, quiet=True)
+    return result
+
+
 def solve_batched(
     A: Union[LinearOperator, jnp.ndarray, Callable],
     B,
@@ -590,6 +675,9 @@ def solve_batched(
     is_complex = jnp.issubdtype(B.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
+    if m in _BLOCK_METHODS:
+        return _solve_block(A, B, X0, m, params=params, M=M, monitor=monitor,
+                            is_complex=is_complex, check=check)
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
                                                 lmin=lmin, lmax=lmax,
                                                 restart=restart)

@@ -47,6 +47,7 @@ _MATVECS = {
     "pg": 1, "spg": 1,
     "cgs": 2, "bicgstab": 2, "bicgstab2": 2, "tfqmr": 2,
     "bicg": 2, "bicg_sym": 1, "pbicg": 2,
+    "block_cg": 1, "block_pcg": 1,
 }
 
 

@@ -75,6 +75,23 @@ def main():
     print(f"batched x{nrhs:2d} (one kernel)      iters={it.min()}..{it.max()} "
           f"wall={ms:7.1f} ms total = {ms / nrhs:5.2f} ms/solve")
 
+    # -- 3b: block CG — one SHARED block Krylov space for distinct RHS:
+    #        fewer iterations (the block deflates the small eigenvalues),
+    #        Gram reductions as MXU matmuls (solvers/block.py).
+    Bd = jnp.asarray(np.vstack(
+        [np.asarray(b)]
+        + [np.random.default_rng(i).standard_normal(s.n)
+           for i in range(nrhs - 1)]))
+    rbat = lcg.solve_batched(A, Bd, method="cg", params=params,
+                             pallas="never")
+    t0 = time.perf_counter()
+    rblk = lcg.solve_batched(A, Bd, method="block_cg", params=params)
+    np.asarray(rblk.x[0, :4])
+    ms = (time.perf_counter() - t0) * 1e3
+    print(f"block CG x{nrhs:2d} (shared space) "
+          f"iters={int(np.max(rblk.iterations))} vs batched "
+          f"{int(np.max(rbat.iterations))}  wall={ms:7.1f} ms")
+
     # -- 4: complex-symmetric banded via interleaved realified DIA --------
     n = 50_000
     rng = np.random.default_rng(5)
