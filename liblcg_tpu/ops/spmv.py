@@ -99,11 +99,22 @@ def dense_mv(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     The reference's OpenMP dense matvec is ``lcg_matvec`` (algebra.cpp:165-193);
     on TPU this is a single ``dot`` with an explicit accumulation type so
     f32/bf16 inputs still accumulate at full precision.
+
+    ``precision=HIGHEST`` for f32 inputs: the TPU default lowers f32
+    matmul INPUTS to bf16 passes (~8 mantissa bits per product), which
+    turns the solver's operator into a perturbed one — Krylov residuals
+    then stall around the perturbation level.  HIGHEST reconstructs full
+    f32 products from bf16 passes (3-6 MXU passes; the MXU has the
+    headroom).  bf16 inputs keep the default — that precision was opted
+    into by the caller.
     """
     preferred = jnp.promote_types(A.dtype, jnp.float32)
     if jnp.issubdtype(A.dtype, jnp.complexfloating):
         preferred = A.dtype
-    return jnp.matmul(A, x, preferred_element_type=preferred)
+    prec = (None if A.dtype == jnp.dtype(jnp.bfloat16)
+            else jax.lax.Precision.HIGHEST)
+    return jnp.matmul(A, x, preferred_element_type=preferred,
+                      precision=prec)
 
 
 @partial(jax.jit, static_argnames=("n_chunks",))

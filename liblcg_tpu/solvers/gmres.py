@@ -67,8 +67,12 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
         return _vec_sum(conj(V) * w)
 
     def comb(V, h):
-        """sum_k h[k] V[k] — shape bshape + (n_local,)."""
-        return jnp.einsum("k...,k...n->...n", h, V)
+        """sum_k h[k] V[k] — shape bshape + (n_local,).  HIGHEST precision:
+        this contraction lowers to an MXU matmul, and the TPU default's
+        bf16 input passes would perturb the assembled correction/basis at
+        ~1e-3 (see ops/spmv.dense_mv)."""
+        return jnp.einsum("k...,k...n->...n", h, V,
+                          precision=lax.Precision.HIGHEST)
 
     def metric(r_sq, x_sq):
         """Reference stopping metric on squared norms (lcg.cpp:186-209)."""
