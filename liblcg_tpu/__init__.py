@@ -60,6 +60,7 @@ from .operators import (
 )
 from .solve import (
     BATCHED_METHODS,
+    BLOCK_METHODS,
     COMPLEX_METHODS,
     REAL_METHODS,
     canonical_method,
@@ -126,6 +127,7 @@ __all__ = [
     "solve_refined_batched",
     "solve_batched",
     "BATCHED_METHODS",
+    "BLOCK_METHODS",
     "lcg_solver",
     "lcg_solver_preconditioned",
     "lcg_solver_constrained",

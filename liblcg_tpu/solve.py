@@ -92,7 +92,12 @@ _PRECONDITIONED_OF = {
     "block_cg": "block_pcg",
 }
 
-REAL_METHODS = tuple(_REAL_METHODS) + _EXTRA_METHODS + _BLOCK_METHODS
+REAL_METHODS = tuple(_REAL_METHODS) + _EXTRA_METHODS
+
+#: Public: the multi-RHS-only methods — valid for solve_batched /
+#: solve_sharded (2-D B), rejected by solve() (kept OUT of REAL_METHODS
+#: so that every REAL_METHODS member remains a valid solve() method).
+BLOCK_METHODS = _BLOCK_METHODS
 COMPLEX_METHODS = tuple(_CPLX_METHODS) + ("gmres", "pgmres")
 
 
@@ -103,7 +108,8 @@ def canonical_method(method: str) -> str:
             and m not in _EXTRA_METHODS and m not in _BLOCK_METHODS):
         raise ValueError(
             f"unknown solver {method!r}; real methods: {sorted(REAL_METHODS)}, "
-            f"complex methods: {sorted(COMPLEX_METHODS)}"
+            f"complex methods: {sorted(COMPLEX_METHODS)}, "
+            f"multi-RHS-only: {sorted(_BLOCK_METHODS)}"
         )
     return m
 

@@ -159,17 +159,26 @@ def _ns_inverse(Ws: jnp.ndarray) -> jnp.ndarray:
     tol = jnp.asarray(4.0 * s * jnp.finfo(dt).eps, dt)
 
     def cond(c):
-        k, _, r = c
-        return (k < _NS_SWEEPS) & (r > tol)
+        k, _, r, r_prev = c
+        # Exit on tolerance, the sweep cap, or a rounding floor: at the
+        # jitter-bounded condition number the achievable residual floor
+        # (~eps * kappa_guard) sits ABOVE tol, and without the stall
+        # test every near-convergence iteration would burn the full cap
+        # (r decreases strictly until the floor, so r >= r_prev is the
+        # floor signature; the slow pre-quadratic phase still makes
+        # strict progress every sweep).
+        return (k < _NS_SWEEPS) & (r > tol) & (r < r_prev)
 
     def body(c):
-        k, X, _ = c
+        k, X, r, _ = c
         E = eye - _mm(Wn, X)
-        r = jnp.max(jnp.sqrt(jnp.sum(E * E, axis=(-2, -1))))
-        return k + 1, X + _mm(X, E), r
+        r_new = jnp.max(jnp.sqrt(jnp.sum(E * E, axis=(-2, -1))))
+        return k + 1, X + _mm(X, E), r_new, r
 
-    _, X, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), X0, jnp.asarray(jnp.inf, dt)))
+    _, X, _, _ = lax.while_loop(
+        cond, body,
+        (jnp.int32(0), X0, jnp.asarray(jnp.finfo(dt).max, dt),
+         jnp.asarray(jnp.inf, dt)))
     # One polish sweep: the loop observes the PRE-sweep residual, so the
     # exit-time X is one squaring past the observation; polishing once
     # more squares it again.
@@ -212,11 +221,12 @@ def block_cg(A, B, X0=None, *, M=None, params=SolverParams(), monitor=None,
         status=H.running_status(),
         residual=jnp.zeros((s, 1), R.real.dtype),
     )
-    if apply_M is not None:
-        carry["Z"] = Z      # unpreconditioned solves: Z aliases R, not carried
 
     def row_sq(V):
-        sq = jnp.sum(V * V, axis=-1, keepdims=True)
+        acc = H._acc_dtype(V.dtype)
+        sq = jnp.sum(V * V, axis=-1, keepdims=True, dtype=acc)
+        if acc is not None:
+            sq = sq.astype(V.dtype)
         ax = H.dist_axis()
         return lax.psum(sq, ax) if ax is not None else sq
 
@@ -262,19 +272,19 @@ def block_cg(A, B, X0=None, *, M=None, params=SolverParams(), monitor=None,
         Pn = Zn + _mm(beta.T, Pm)
         # Frozen rows keep their converged values (the masked recurrence
         # leaves them at 0 — restore so the reported residual is the real
-        # converged one, run_loop's mask(new, old) convention).
+        # converged one, run_loop's mask(new, old) convention).  x too:
+        # alpha's frozen columns are exactly zero in finite arithmetic,
+        # but a NaN breakdown in an alive system would otherwise pollute
+        # frozen solutions through NaN * 0.
         keep = lambda new, old: jnp.where(alive, new, old)
-        out = dict(
+        return dict(
             c,
-            x=Xn,
+            x=keep(Xn, c["x"]),
             R=keep(Rn, c["R"]),
             P=keep(Pn, c["P"]),
             G=Gn,
             t=c["t"] + alive.astype(jnp.int32),
         )
-        if apply_M is not None:
-            out["Z"] = keep(Zn, c["Z"])
-        return out
 
     carry = lax.while_loop(cond_fn, body_fn, carry)
 

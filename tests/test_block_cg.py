@@ -203,3 +203,37 @@ def test_ns_inverse_matches_numpy_inverse():
     for k in range(2):
         err = np.abs(inv[k] @ np.asarray(stack[k]) - np.eye(s)).max()
         assert err < 1e-4, (k, err)   # guarded kappa ~ 3e5 at f32 jitter
+
+
+def test_block_cg_nan_breakdown_does_not_pollute_frozen_systems():
+    """Review finding (round 3): a NaN breakdown in an alive system must
+    not leak into already-frozen systems through the block updates — the
+    x rows use the same keep()/mask convention as run_loop's batched
+    path."""
+    n = 40
+    rng = np.random.default_rng(1)
+    # Indefinite operator: CG breaks down (d^T A d < 0 -> NS rsqrt NaN).
+    D = np.diag(np.concatenate([np.full(n // 2, 2.0),
+                                np.full(n - n // 2, -2.0)]))
+    A = jnp.asarray(D)
+    xt = rng.standard_normal(n)
+    b_hard = jnp.asarray(D @ rng.standard_normal(n))
+    b_easy = jnp.asarray(D @ xt)
+    X0 = jnp.stack([jnp.asarray(xt), jnp.zeros(n)])  # system 0 pre-solved
+    res = lcg.solve_batched(A, jnp.stack([b_easy, b_hard]), X0=X0,
+                            method="block_cg",
+                            params=SolverParams(epsilon=1e-12,
+                                                max_iterations=60))
+    st = np.asarray(res.status_code)
+    assert st[0] in (int(Status.ALREADY_OPTIMIZED), int(Status.CONVERGENCE))
+    assert np.all(np.isfinite(np.asarray(res.x)[0]))
+    np.testing.assert_allclose(np.asarray(res.x)[0], xt, atol=1e-10)
+
+
+def test_block_methods_not_in_real_methods():
+    """Review finding (round 3): every REAL_METHODS member must be a
+    valid solve() method; the multi-RHS-only methods live in
+    BLOCK_METHODS."""
+    assert "block_cg" not in lcg.REAL_METHODS
+    assert set(lcg.BLOCK_METHODS) == {"block_cg", "block_pcg"}
+    assert set(lcg.BLOCK_METHODS) <= set(lcg.BATCHED_METHODS)
