@@ -9,8 +9,11 @@ incomplete-LU / dense-Cholesky preconditioning — plus capabilities the
 reference (single-process OpenMP / single GPU) never had:
 
 - hardware-shaped solver variants: pipelined CG (``cgp``), Chronopoulos-
-  Gear fused CG (``cgf``), Chebyshev iteration, restarted GMRES(m),
-  MINRES/PMINRES, a whole-solve VMEM-resident Pallas CG kernel;
+  Gear fused CG (``cgf``), s-step communication-avoiding CG (``cacg``:
+  s iterations per basis build + ONE reduction, with a fused Pallas
+  matrix-powers+Gram kernel for stencil operators in the HBM regime),
+  Chebyshev iteration, restarted GMRES(m), MINRES/PMINRES, a
+  whole-solve VMEM-resident Pallas CG kernel;
 - first-class multi-chip scaling over a ``jax.sharding.Mesh``
   (``parallel``): row-partitioned/DIA/stencil operators with ppermute
   halos, psum'd reductions, block-Jacobi IC, multi-process execution;

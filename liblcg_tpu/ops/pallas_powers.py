@@ -1,0 +1,376 @@
+"""Fused matrix-powers + Gram kernel for s-step CG on 7-point stencils.
+
+The HBM-regime lever (PERFORMANCE.md traffic arithmetic): a classic fused
+CG iteration at 256^3 f32 must stream ~9.5 vector-lengths of HBM traffic,
+and the XLA loop already sits on that bound — only amortizing state
+traffic across iterations goes lower.  ``solvers/sstep.ca_cg`` needs, per
+s iterations, the Krylov basis
+
+    V = [p, T1(Â)p, ..., Ts(Â)p, r, T1(Â)r, ..., T_{s-1}(Â)r]
+
+and the moment block [V; x][V; x]^T.  Built by XLA this costs ~6s+2
+streams (each chain level is its own stencil pass, the Gram re-reads V);
+this kernel produces BOTH in ONE streaming sweep:
+
+- grid over z-slabs; each step DMAs the p/r/x blocks plus s-deep halo
+  plane arrays (precomputed by plain XLA reshape/concat — affine index
+  maps keep Mosaic's input pipelining intact, the lesson of the retired
+  fused-CG kernel), runs both three-term chains entirely in VMEM, and
+  writes only the 2s-1 NEW basis vectors: ~2s+2.5 streams total.
+- the Gram never touches HBM: for a Chebyshev (or monomial) basis the
+  product identity  T_i T_j = (T_{i+j} + T_{|i-j|}) / 2  determines every
+  Gram entry from the "antidiagonal" moments  m_k,  and  m_k  is
+  recovered from dots of ADJACENT chain levels (m_k = 2 D_k - m_{k mod 2}
+  with D_k = <v_ceil(k/2), v_floor(k/2)>) — each available in VMEM while
+  the chain is generated.  8s+2 block dots accumulate in SMEM across the
+  sequential TPU grid; a tiny static linear map (numpy, host-built)
+  assembles G afterwards.
+
+Numerics: the identity treats the computed basis as exact — the
+reconstruction error is O(u) relative to the Gram scale, the same order
+as the intrinsic finite-precision floor of any s-step method; ca_cg's
+block-boundary residual replacement bounds the accumulation either way
+(convergence parity is asserted by tests/test_sstep_pallas.py).
+
+f32 only (Mosaic has no f64); the Laplacian stencil matches
+``parallel/stencil.py`` exactly (Dirichlet x/y via zero padding, z via
+zeroed halo planes).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_VMEM_BUDGET = 96 * 1024 * 1024  # under the 100 MB compiler limit
+
+
+def _vmem_estimate(bz: int, ny: int, nx: int, s: int) -> int:
+    """Scoped-VMEM model for one grid step: double-buffered input blocks
+    (p, r, x) + halo arrays, double-buffered V outputs, and ~3 live
+    extended chain buffers (prev/cur/next at max extent bz + 2s)."""
+    plane = ny * nx * 4
+    ins = 2 * (3 * bz + 2 * (s + max(s - 1, 1))) * plane
+    outs = 2 * (2 * s - 1) * bz * plane
+    work = 3 * (bz + 2 * s) * plane
+    return ins + outs + work
+
+
+def _pick_bz(nz: int, ny: int, nx: int, s: int) -> int:
+    """Largest z-slab height dividing nz with s <= bz (halo planes are
+    sliced from the single adjacent block) that fits the VMEM budget —
+    at 256^2 planes and s=4, bz=16 overflows scoped VMEM by ~22 MB
+    (measured on chip), bz=8 fits."""
+    for bz in (32, 16, 8, 4, 2):
+        if (nz % bz == 0 and s <= bz
+                and _vmem_estimate(bz, ny, nx, s) <= _VMEM_BUDGET):
+            return bz
+    return 0
+
+
+def supported(grid: Tuple[int, int, int], dtype, s: int) -> bool:
+    nz, ny, nx = grid
+    return (
+        jnp.dtype(dtype) == jnp.float32
+        and 2 <= s <= 6
+        and nx % 128 == 0
+        and ny % 8 == 0
+        and _pick_bz(nz, ny, nx, s) > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moment -> Gram reconstruction (static, host-side numpy)
+# ---------------------------------------------------------------------------
+
+
+def _moments_from_D(D: jnp.ndarray) -> jnp.ndarray:
+    """m_k from antidiagonal dots: D_k = (m_k + m_{k mod 2})/2, so
+    m_0 = D_0, m_1 = D_1, m_k = 2 D_k - m_{k mod 2}.  Expressed as a
+    static matrix so it stays one tiny matmul under jit."""
+    K = D.shape[0]
+    L = np.zeros((K, K))
+    for k in range(K):
+        if k < 2:
+            L[k, k] = 1.0
+        else:
+            L[k, k] = 2.0
+            L[k, k % 2] = -1.0
+    return jnp.asarray(L, D.dtype) @ D
+
+
+def _gram_assembler(s: int, basis: str):
+    """Static index/weight maps building G (2s+1, 2s+1) from the moment
+    vectors (m_pp, m_rr, m_pr)."""
+    mdim = 2 * s + 1
+
+    def chebyshev_entry(m, i, j):
+        return 0.5 * (m[i + j] + m[abs(i - j)])
+
+    def monomial_entry(m, i, j):
+        return m[i + j]
+
+    entry = monomial_entry if basis == "monomial" else chebyshev_entry
+
+    def assemble(m_pp, m_rr, m_pr):
+        G = [[None] * mdim for _ in range(mdim)]
+        for i in range(s + 1):
+            for j in range(s + 1):
+                G[i][j] = entry(m_pp, i, j)
+        for i in range(s):
+            for j in range(s):
+                G[s + 1 + i][s + 1 + j] = entry(m_rr, i, j)
+        for i in range(s + 1):
+            for j in range(s):
+                v = entry(m_pr, i, j)
+                G[i][s + 1 + j] = v
+                G[s + 1 + j][i] = v
+        return jnp.stack([jnp.stack(row) for row in G])
+
+    return assemble
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _stencil_ext(u):
+    """7-point Laplacian on the z-interior of an extended block
+    (E, ny, nx) -> (E-2, ny, nx); x/y Dirichlet via zero padding (same
+    algebra as parallel/stencil.py:_stencil_interior)."""
+    core = u[1:-1]
+    p = jnp.pad(core, ((0, 0), (1, 1), (1, 1)))
+    return (
+        6.0 * core
+        - u[:-2]
+        - u[2:]
+        - p[:, :-2, 1:-1]
+        - p[:, 2:, 1:-1]
+        - p[:, 1:-1, :-2]
+        - p[:, 1:-1, 2:]
+    )
+
+
+def _make_kernel(s: int, bz: int, nz: int, abc):
+    """Kernel body closure.  Chain levels live in VMEM only; cores are
+    written to the V outputs; the 8s+2 moment dots accumulate in SMEM.
+
+    acc layout: [D_pp (2s+1) | D_rr (2s-1) | D_pr (2s) | w (2s+1) | xx]
+    """
+    a, b, c = abc
+    sr = s - 1
+    n_acc = (2 * s + 1) + (2 * s - 1) + 2 * s + (2 * s + 1) + 1
+    o_rr = 2 * s + 1
+    o_pr = o_rr + 2 * s - 1
+    o_w = o_pr + 2 * s
+    o_xx = o_w + 2 * s + 1
+
+    def kernel(p_ref, r_ref, x_ref, plo_ref, phi_ref, rlo_ref, rhi_ref,
+               vp_ref, vr_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for k in range(n_acc):
+                acc_ref[k] = 0.0
+
+        x_blk = x_ref[...]
+        acc_ref[o_xx] += jnp.sum(x_blk * x_blk)
+
+        def chain(v0_ext, ghost, n_levels, out_ref, d_base, w_base):
+            """Run one three-term chain; returns list of core blocks.
+            v0_ext extent = bz + 2*ghost; level j extent = bz+2(ghost-j);
+            core of level j = planes [ghost-j : ghost-j+bz].
+
+            Ghost planes that fall OUTSIDE the physical domain are
+            re-zeroed after every application (z-Dirichlet): the stencil
+            extends values into them, but the true operator's boundary
+            row sees a zero neighbor — without the mask, edge blocks
+            diverge from A^j at level j >= 2."""
+            cores = [v0_ext[ghost:ghost + bz] if ghost else v0_ext]
+            acc_ref[d_base] += jnp.sum(cores[0] * cores[0])
+            acc_ref[w_base] += jnp.sum(cores[0] * x_blk)
+            prev, cur = None, v0_ext
+            for j in range(n_levels):
+                nxt = _stencil_ext(cur) - a[j] * cur[1:-1]
+                if j >= 1 and c[j] != 0.0:
+                    nxt = nxt - c[j] * prev[2:-2]
+                if b[j] != 1.0:
+                    nxt = nxt * (1.0 / b[j])
+                off = ghost - (j + 1)
+                if off > 0:
+                    # global plane index of nxt[k] is i*bz - off + k
+                    ext = bz + 2 * off
+                    zidx = jax.lax.broadcasted_iota(
+                        jnp.int32, (ext, 1, 1), 0
+                    ) + (i * bz - off)
+                    nxt = jnp.where((zidx >= 0) & (zidx < nz), nxt, 0.0)
+                core = nxt[off:off + bz] if off else nxt
+                out_ref[j] = core
+                # antidiagonal dots: D_{2j+1} = <v_{j+1}, v_j>,
+                # D_{2j+2} = <v_{j+1}, v_{j+1}>
+                acc_ref[d_base + 2 * j + 1] += jnp.sum(core * cores[j])
+                acc_ref[d_base + 2 * j + 2] += jnp.sum(core * core)
+                acc_ref[w_base + j + 1] += jnp.sum(core * x_blk)
+                prev, cur = cur, nxt
+                cores.append(core)
+            return cores
+
+        p_ext = jnp.concatenate([plo_ref[0], p_ref[...], phi_ref[0]], axis=0)
+        p_cores = chain(p_ext, s, s, vp_ref, 0, o_w)
+
+        if sr > 0:
+            r_ext = jnp.concatenate(
+                [rlo_ref[0], r_ref[...], rhi_ref[0]], axis=0
+            )
+        else:
+            r_ext = r_ref[...]
+        r_cores = chain(r_ext, sr, sr, vr_ref, o_rr, o_w + s + 1)
+
+        # cross moments: D_pr[2j] = <p_j, r_j>, D_pr[2j+1] = <p_{j+1}, r_j>
+        for j in range(s):
+            rj = r_cores[j]
+            acc_ref[o_pr + 2 * j] += jnp.sum(p_cores[j] * rj)
+            if 2 * j + 1 < 2 * s:
+                acc_ref[o_pr + 2 * j + 1] += jnp.sum(p_cores[j + 1] * rj)
+
+    return kernel, n_acc
+
+
+def _halos(a3, nblocks: int, bz: int, depth: int):
+    """(lo, hi): (nblocks, depth, ny, nx) ghost-plane arrays, zero at the
+    domain edges (Dirichlet) — built by plain XLA reshape/concat, O(depth
+    * nblocks * plane) traffic (depth/bz of one stream)."""
+    nz, ny, nx = a3.shape
+    ab = a3.reshape(nblocks, bz, ny, nx)
+    zero = jnp.zeros((1, depth, ny, nx), a3.dtype)
+    lo = jnp.concatenate([zero, ab[:-1, bz - depth:]], axis=0)
+    hi = jnp.concatenate([ab[1:, :depth], zero], axis=0)
+    return lo, hi
+
+
+def _powers_raw(p, r, x, *, grid, s, abc, interpret=False):
+    """The pallas_call: (vp, vr, acc) in f32.  Trace under x64-off (the
+    gridded index plumbing becomes i64 otherwise, which Mosaic cannot
+    legalize); the moment->Gram reconstruction happens OUTSIDE, in the
+    wide dtype (sstep._wide_dtype) — Gram accuracy is the s-step
+    failure mode and the reconstruction is O(s^2) scalars."""
+    nz, ny, nx = grid
+    bz = _pick_bz(nz, ny, nx, s)
+    nblocks = nz // bz
+    sr = s - 1
+    dt = jnp.float32
+    # Inputs arrive in their native 3-D shape: a flat<->3-D reshape at a
+    # custom-call boundary is a physical relayout copy of the whole
+    # vector (pure-XLA consumers fuse reshapes; pallas_call cannot).
+    p3, r3, x3 = p, r, x
+    plo, phi = _halos(p3, nblocks, bz, s)
+    if sr > 0:
+        rlo, rhi = _halos(r3, nblocks, bz, sr)
+    else:  # unused by the kernel; minimal placeholders
+        rlo = jnp.zeros((nblocks, 1, ny, nx), dt)
+        rhi = jnp.zeros((nblocks, 1, ny, nx), dt)
+
+    kernel, n_acc = _make_kernel(s, bz, nz, abc)
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    blk = pl.BlockSpec((bz, ny, nx), lambda i: (_i32(i), 0, 0))
+    halo_s = pl.BlockSpec((1, s, ny, nx), lambda i: (_i32(i), 0, 0, 0))
+    halo_r = pl.BlockSpec(
+        (1, max(sr, 1), ny, nx), lambda i: (_i32(i), 0, 0, 0)
+    )
+    vp_spec = pl.BlockSpec((s, bz, ny, nx), lambda i: (0, _i32(i), 0, 0))
+    vr_spec = pl.BlockSpec(
+        (max(sr, 1), bz, ny, nx), lambda i: (0, _i32(i), 0, 0)
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[blk, blk, blk, halo_s, halo_s, halo_r, halo_r],
+        out_specs=(vp_spec, vr_spec, smem),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((max(sr, 1), nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((n_acc,), dt),
+        ),
+        interpret=interpret,
+        **kw,
+    )(p3, r3, x3, plo, phi, rlo, rhi)
+
+
+def _assemble(p, r, vp, vr, acc, *, grid, s, basis):
+    """Basis parts + moment->Gram reconstruction (wide dtype).
+
+    The basis is returned as PARTS (p, Vp, r, Vr) in canonical order —
+    never concatenated: a stacked copy of V costs a full extra
+    read+write of the basis per outer step (~1 ms/iter at 256^3 f32,
+    measured), and the recovery contraction consumes parts directly."""
+    from ..solvers.sstep import _wide_dtype
+
+    nz, ny, nx = grid
+    sr = s - 1
+    # Parts stay in the kernel's native (levels, nz, ny, nx) layout —
+    # reshaping a pallas output to (levels, n) re-tiles the buffer (a
+    # full read+write).  The recovery FMA chain is shape-agnostic.
+    parts = (p[None], vp, r[None], vr[:sr])
+
+    wide = _wide_dtype(jnp.float32)
+    if wide is not None:
+        acc = acc.astype(wide)
+    D_pp = acc[0:2 * s + 1]
+    D_rr = acc[2 * s + 1:4 * s]
+    D_pr = acc[4 * s:6 * s]
+    w = acc[6 * s:8 * s + 1]
+    xx = acc[8 * s + 1]
+    if basis == "monomial":
+        m_pp, m_rr, m_pr = D_pp, D_rr, D_pr
+    else:
+        m_pp = _moments_from_D(D_pp)
+        m_rr = _moments_from_D(D_rr) if sr > 0 else D_rr
+        m_pr = _moments_from_D(D_pr)
+    G = _gram_assembler(s, basis)(m_pp, m_rr, m_pr)
+    return parts, G, w, xx
+
+
+def make_basis_gram(A, *, s: int, abc, basis: str, interpret: bool = False):
+    """``basis_gram_fn`` for :func:`solvers.sstep.ca_cg` over a
+    :class:`parallel.stencil.Laplacian3DOperator` (f32).  Returns None
+    when the kernel does not apply (caller falls back to XLA)."""
+    from ..parallel.stencil import Laplacian3DOperator
+    from ..solvers import harness as H
+
+    if not isinstance(A, Laplacian3DOperator):
+        return None
+    if not supported(A.grid, A.dtype, s):
+        return None
+    if H.dist_axis() is not None or H.batch_active():
+        return None
+    grid = A.grid
+
+    def basis_gram(A_, p_, r_, x_):
+        with jax.enable_x64(False):
+            vp, vr, acc = _powers_raw(
+                p_, r_, x_, grid=grid, s=s, abc=abc, interpret=interpret,
+            )
+        return _assemble(p_, r_, vp, vr, acc, grid=grid, s=s, basis=basis)
+
+    # ca_cg carries its vectors in this shape while the kernel is active
+    # (flat<->3-D reshapes at the custom-call boundary are relayouts).
+    basis_gram.vec_shape = grid
+    return basis_gram

@@ -23,7 +23,24 @@ def gershgorin_bounds(A) -> Tuple[float, float]:
     """(lmin, lmax) from Gershgorin circles.  Supports BandedOperator,
     SparseOperator and DenseOperator (anything exposing its values)."""
     from ..operators import BandedOperator, DenseOperator, SparseOperator
+    from ..parallel.stencil import (
+        Laplacian3DOperator,
+        ShardedLaplacian3D,
+        ShardedStencil3D,
+        Stencil3DOperator,
+    )
 
+    if isinstance(A, (Laplacian3DOperator, ShardedLaplacian3D)):
+        # 7-point Laplacian rows: diag 6, off-diagonal sum <= 6.
+        return 0.0, 12.0
+    if isinstance(A, (Stencil3DOperator, ShardedStencil3D)):
+        diag = np.asarray(A.c0)
+        off = sum(
+            np.abs(np.asarray(getattr(A, f)))
+            for f in ("cxm", "cxp", "cym", "cyp", "czm", "czp")
+        )
+        dr = np.real(diag)
+        return float(np.min(dr - off)), float(np.max(dr + off))
     if isinstance(A, BandedOperator):
         vals = np.asarray(A.diag_vals)          # (n_diags, n)
         diag = (

@@ -106,6 +106,7 @@ def solve_sharded(
     lmin=None,
     lmax=None,
     restart: int = 32,
+    s: int = 4,
     check: bool = False,
 ) -> SolveResult:
     """Solve ``A x = b`` SPMD over a device mesh.
@@ -153,7 +154,7 @@ def solve_sharded(
         )
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
                                                 lmin=lmin, lmax=lmax,
-                                                restart=restart)
+                                                restart=restart, s=s)
 
     err = params.validate(for_method=m)
     if err is not None:

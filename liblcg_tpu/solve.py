@@ -58,6 +58,8 @@ _ALIASES = {
     "pcgp": "pcg_pipelined",
     "bcg": "block_cg",
     "bpcg": "block_pcg",
+    "ca_cg": "cacg",
+    "sstep_cg": "cacg",
     "LCG_CG": "cg",
     "LCG_PCG": "pcg",
     "LCG_CGS": "cgs",
@@ -74,8 +76,10 @@ _ALIASES = {
     "CLCG_PBICG": "pbicg",
 }
 
-#: Methods available in BOTH domains beyond the per-domain tables.
-_EXTRA_METHODS = ("chebyshev", "gmres", "pgmres", "minres", "pminres")
+#: Methods available beyond the per-domain tables (chebyshev/minres/cacg
+#: are real-domain and raise for complex systems; gmres handles both).
+_EXTRA_METHODS = ("chebyshev", "gmres", "pgmres", "minres", "pminres",
+                  "cacg")
 
 #: Multi-RHS-only methods (shared block Krylov space, solvers/block.py):
 #: real SPD systems, dispatched through :func:`solve_batched` exclusively.
@@ -89,7 +93,7 @@ _PRECONDITIONED_OF = {
     "gmres": "pgmres", "minres": "pminres", "bicg": "pbicg",
     "bicg_sym": "pbicg", "cgs": "pcg", "bicgstab": "pcg",
     "bicgstab2": "pcg", "tfqmr": "pcg", "chebyshev": "pcg",
-    "block_cg": "block_pcg",
+    "block_cg": "block_pcg", "cacg": "pcg",
 }
 
 REAL_METHODS = tuple(_REAL_METHODS) + _EXTRA_METHODS
@@ -116,10 +120,11 @@ def canonical_method(method: str) -> str:
 
 _CHEB_CACHE: dict = {}
 _GMRES_CACHE: dict = {}
+_CACG_CACHE: dict = {}
 
 
 def _resolve_engine(m: str, is_complex: bool, A=None, lmin=None, lmax=None,
-                    restart: int = 32):
+                    restart: int = 32, s: int = 4, pallas: str = "auto"):
     """(engine fn, needs_M, needs_bounds) for a canonical method name.
 
     Chebyshev gets its spectral interval baked into a cached engine: bounds
@@ -160,6 +165,28 @@ def _resolve_engine(m: str, is_complex: bool, A=None, lmin=None, lmax=None,
             fn = partial(_gmres, restart=key)
             _GMRES_CACHE[key] = fn
         return fn, m == "pgmres", False
+    if m == "cacg":
+        from .solvers.sstep import ca_cg as _ca_cg
+
+        if is_complex:
+            raise ValueError("cacg is real-domain (SPD systems); realify "
+                             "complex operators first")
+        if lmin is None or lmax is None:
+            from .ops.spectra import gershgorin_bounds
+
+            glo, ghi = gershgorin_bounds(A)
+            lmin = glo if lmin is None else lmin
+            lmax = ghi if lmax is None else lmax
+        # The Chebyshev BASIS (unlike the Chebyshev solver) tolerates
+        # lmin = 0 — it only shapes the polynomial recurrence.
+        lmin, lmax = max(float(lmin), 0.0), float(lmax)
+        key = (lmin, lmax, int(s), pallas)
+        fn = _CACG_CACHE.get(key)
+        if fn is None:
+            fn = partial(_ca_cg, s=int(s), lmin=lmin, lmax=lmax,
+                         basis="chebyshev", pallas=pallas)
+            _CACG_CACHE[key] = fn
+        return fn, False, False
     if m == "chebyshev":
         if is_complex:
             raise ValueError("chebyshev is real-domain (SPD systems)")
@@ -338,6 +365,7 @@ def solve(
     lmin=None,
     lmax=None,
     restart: int = 32,
+    s: int = 4,
     check: bool = False,
     lower_inclusive: bool = True,
     upper_inclusive: bool = True,
@@ -373,6 +401,8 @@ def solve(
         if infeasible; uses the interpreter on CPU backends, for tests).
     trace_len : if > 0, record the first ``trace_len`` residuals.
     key : PRNG key for the complex CGS/BiCGSTAB/TFQMR shadow residual.
+    s : s-step depth for ``method="cacg"`` (iterations advanced per basis
+        build; Chebyshev basis on [lmin, lmax], Gershgorin default).
     check : if True, raise LcgError on failure statuses.
     """
     m = canonical_method(method)
@@ -392,7 +422,8 @@ def solve(
     )
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
                                                 lmin=lmin, lmax=lmax,
-                                                restart=restart)
+                                                restart=restart, s=s,
+                                                pallas=pallas)
 
     # Parameter validation (reference entry checks, lcg.cpp:150-155 etc.).
     err = params.validate(for_method=m)

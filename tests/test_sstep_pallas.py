@@ -1,0 +1,110 @@
+"""Fused matrix-powers+Gram kernel (ops/pallas_powers.py): interpret-mode
+parity against the XLA basis builder, and end-to-end ca_cg equivalence.
+
+Chip numbers live in profiling/probe_r3_sstep.json and the bench's
+``lap256_sstep_*`` fields; these tests pin the algebra (including the
+z-Dirichlet ghost-plane masking that level >= 2 requires — the bug class
+caught during bring-up) on the CPU interpreter.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import liblcg_tpu as lcg
+from liblcg_tpu.ops import pallas_powers as PP
+from liblcg_tpu.solvers.sstep import basis_recurrence, ca_cg, xla_basis_gram
+from liblcg_tpu.types import Status
+
+
+def _setup(grid=(16, 8, 128), seed=0):
+    # kernel-facing vectors carry the operator's native 3-D shape
+    A = lcg.Laplacian3DOperator(*grid, dtype=jnp.float32)
+    n = grid[0] * grid[1] * grid[2]
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal(n), jnp.float32).reshape(grid)
+    return A, mk(), mk(), mk()
+
+
+@pytest.mark.parametrize(
+    "s,basis",
+    [(2, "chebyshev"), (4, "chebyshev"), (6, "chebyshev"), (4, "monomial")],
+)
+def test_interpret_parity_vs_xla(s, basis):
+    A, p, r, x = _setup()
+    abc = basis_recurrence(s, basis, 0.0, 12.0)
+    fn = PP.make_basis_gram(A, s=s, abc=abc, basis=basis, interpret=True)
+    assert fn is not None
+    P1, G1, w1, xx1 = fn(A, p, r, x)
+    V1 = jnp.concatenate(P1, axis=0).reshape(2 * s + 1, -1)
+    P0, G0, w0, xx0 = xla_basis_gram(
+        A, p.reshape(-1), r.reshape(-1), x.reshape(-1), s=s, abc=abc)
+    V0 = jnp.concatenate(P0, axis=0)
+    sV = float(jnp.max(jnp.abs(V0)))
+    sG = float(jnp.max(jnp.abs(G0)))
+    assert float(jnp.max(jnp.abs(V1 - V0))) < 3e-6 * sV
+    assert float(jnp.max(jnp.abs(G1 - G0.astype(G1.dtype)))) < 3e-5 * sG
+    assert float(jnp.max(jnp.abs(w1 - w0.astype(w1.dtype)))) < 3e-5 * sG
+    np.testing.assert_allclose(float(xx1), float(xx0), rtol=1e-5)
+
+
+def test_multiblock_edge_masking():
+    """z-Dirichlet ghost re-zeroing: multi-block grids must agree with the
+    XLA operator chain at every level (the level >= 2 edge-block bug)."""
+    A, p, r, x = _setup(grid=(32, 8, 128), seed=3)
+    s = 4
+    abc = basis_recurrence(s, "chebyshev", 0.0, 12.0)
+    fn = PP.make_basis_gram(A, s=s, abc=abc, basis="chebyshev",
+                            interpret=True)
+    V1 = jnp.concatenate(fn(A, p, r, x)[0], axis=0).reshape(2 * s + 1, -1)
+    V0 = jnp.concatenate(xla_basis_gram(
+        A, p.reshape(-1), r.reshape(-1), x.reshape(-1), s=s, abc=abc)[0],
+        axis=0)
+    for lvl in range(2 * s + 1):
+        err = float(jnp.max(jnp.abs(V1[lvl] - V0[lvl])))
+        assert err < 3e-6 * float(jnp.max(jnp.abs(V0[lvl]))), f"level {lvl}"
+
+
+def test_ca_cg_with_kernel_matches_xla_path():
+    A, _, _, _ = _setup()
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    params = lcg.SolverParams(epsilon=1e-10)
+    s = 4
+    abc = basis_recurrence(s, "chebyshev", 0.0, 12.0)
+    fn = PP.make_basis_gram(A, s=s, abc=abc, basis="chebyshev",
+                            interpret=True)
+    out_k = ca_cg(A, b, s=s, basis="chebyshev", lmin=0.0, lmax=12.0,
+                  params=params, basis_gram_fn=fn)
+    out_x = ca_cg(A, b, s=s, basis="chebyshev", lmin=0.0, lmax=12.0,
+                  params=params)
+    assert int(out_k["status"]) == int(Status.CONVERGENCE)
+    assert abs(int(out_k["t"]) - int(out_x["t"])) <= 1
+    rel = jnp.linalg.norm(b - A.mv(out_k["x"])) / jnp.linalg.norm(b)
+    assert float(rel) < 2e-5
+
+
+def test_gating():
+    abc = basis_recurrence(4, "chebyshev", 0.0, 12.0)
+    # non-128-lane grid
+    A = lcg.Laplacian3DOperator(16, 16, 16, dtype=jnp.float32)
+    assert PP.make_basis_gram(A, s=4, abc=abc, basis="chebyshev") is None
+    # f64 operator
+    A = lcg.Laplacian3DOperator(16, 8, 128, dtype=jnp.float64)
+    assert PP.make_basis_gram(A, s=4, abc=abc, basis="chebyshev") is None
+    # s out of the supported window
+    A = lcg.Laplacian3DOperator(16, 8, 128, dtype=jnp.float32)
+    assert PP.make_basis_gram(A, s=8, abc=basis_recurrence(
+        8, "chebyshev", 0.0, 12.0), basis="chebyshev") is None
+    # non-stencil operator
+    D = lcg.DenseOperator(jnp.eye(64, dtype=jnp.float32))
+    assert PP.make_basis_gram(D, s=4, abc=abc, basis="chebyshev") is None
+    # distributed tracing context -> XLA path (kernel is single-device)
+    from liblcg_tpu.solvers import harness as H
+
+    A = lcg.Laplacian3DOperator(16, 8, 128, dtype=jnp.float32)
+    with H.distributed("rows", logical_dim=A.shape[0]):
+        assert PP.make_basis_gram(A, s=4, abc=abc,
+                                  basis="chebyshev") is None
