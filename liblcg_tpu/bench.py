@@ -607,6 +607,39 @@ def bench_complex1k():
             "method": "jacobi-cgnr", "ok": bool(res.converged and err < 1e-6)}
 
 
+def bench_sstep():
+    """s-step CA-CG at the HBM-regime scale (PERFORMANCE.md "s-step CG"):
+    fixed-96-iteration device slope at 256^3 f32 through the fused
+    Pallas powers+Gram kernel.  The single-chip decision number — classic
+    CG's lap256 field is the comparator; cacg's actual win (ONE psum per
+    s iterations vs 2 per iteration) is HLO-asserted in
+    tests/test_sstep.py and matters on multi-chip meshes."""
+    import liblcg_tpu as lcg
+    from liblcg_tpu.ops import pallas_powers as PP
+    from liblcg_tpu.solvers.sstep import basis_recurrence, ca_cg
+
+    if jax.devices()[0].platform == "cpu":
+        return None
+    g, iters, s = 256, 96, 4
+    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float32)
+    b = jnp.ones((g ** 3,), jnp.float32)
+    pfix = lcg.SolverParams(epsilon=1e-30, max_iterations=iters)
+    abc = basis_recurrence(s, "chebyshev", 0.0, 12.0)
+    fn = PP.make_basis_gram(A, s=s, abc=abc, basis="chebyshev")
+    if fn is None:
+        return None
+
+    def one(b):
+        return ca_cg(A, b, s=s, basis="chebyshev", lmin=0.0, lmax=12.0,
+                     params=pfix, basis_gram_fn=fn)["x"]
+
+    dev, wall = _slope(one, b, K=3)
+    out = {"wall_ms": wall * 1e3, "s": s, "iters": iters}
+    if dev is not None:
+        out["ms_per_iter"] = dev * 1e3 / iters
+    return out
+
+
 #: Workload registry: name -> zero-arg callable (run with x64 enabled).
 #: Order is the subprocess priority order under the time budget.
 #: K=16 for lap32: the f32 per-solve time (~3 ms) must dominate run-to-run
@@ -618,6 +651,7 @@ WORKLOADS = {
     "icpcg": bench_icpcg,
     "mixed": bench_mixed_precision,
     "lap256": lambda: bench_laplacian(jnp.float32, grid=256),
+    "sstep": bench_sstep,
     "complex": bench_complex_banded,
     "complex1k": bench_complex1k,
     "lap32": lambda: bench_laplacian(jnp.float32, K=16),
@@ -933,6 +967,13 @@ def main():
     if lap256 is not None and "device_ms" in lap256:
         out["lap256_f32_device_ms"] = round(lap256["device_ms"], 1)
         out["lap256_f32_nnz_per_s"] = f"{lap256['nnz_per_s']:.3e}"
+    sstep = _valid(r.get("sstep"), "ms_per_iter")
+    if sstep is not None:
+        out["lap256_cacg_s4_ms_per_iter"] = round(sstep["ms_per_iter"], 3)
+        if lap256 is not None and "device_ms" in lap256:
+            out["lap256_cacg_vs_cg"] = round(
+                (lap256["device_ms"] / LAP_ITERS) / sstep["ms_per_iter"], 2
+            )
     if c10k is not None:
         out["case10k_cg_wall_ms"] = round(c10k["wall_ms"], 2)
         out["case10k_iterations"] = c10k["iterations"]

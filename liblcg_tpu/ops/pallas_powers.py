@@ -106,32 +106,34 @@ def _moments_from_D(D: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gram_assembler(s: int, basis: str):
-    """Static index/weight maps building G (2s+1, 2s+1) from the moment
-    vectors (m_pp, m_rr, m_pr)."""
-    mdim = 2 * s + 1
+    """Static index maps building G (2s+1, 2s+1) from the moment vectors
+    (m_pp, m_rr, m_pr) as THREE vectorized gathers + block concatenation.
 
-    def chebyshev_entry(m, i, j):
-        return 0.5 * (m[i + j] + m[abs(i - j)])
+    (An earlier scalar-per-entry version cost ~0.3 ms/iter of serialized
+    tiny emulated-f64 ops on chip — the assembler runs in the wide dtype
+    inside the solve loop, so op COUNT matters more than flops.)
+    """
+    iP = np.arange(s + 1)
+    iR = np.arange(s)
+    cheb = basis != "monomial"
 
-    def monomial_entry(m, i, j):
-        return m[i + j]
+    def maps(ia, ib):
+        return ia[:, None] + ib[None, :], np.abs(ia[:, None] - ib[None, :])
 
-    entry = monomial_entry if basis == "monomial" else chebyshev_entry
+    sPP, dPP = maps(iP, iP)
+    sRR, dRR = maps(iR, iR)
+    sPR, dPR = maps(iP, iR)
+
+    def blk(m, su, di):
+        return 0.5 * (m[su] + m[di]) if cheb else m[su]
 
     def assemble(m_pp, m_rr, m_pr):
-        G = [[None] * mdim for _ in range(mdim)]
-        for i in range(s + 1):
-            for j in range(s + 1):
-                G[i][j] = entry(m_pp, i, j)
-        for i in range(s):
-            for j in range(s):
-                G[s + 1 + i][s + 1 + j] = entry(m_rr, i, j)
-        for i in range(s + 1):
-            for j in range(s):
-                v = entry(m_pr, i, j)
-                G[i][s + 1 + j] = v
-                G[s + 1 + j][i] = v
-        return jnp.stack([jnp.stack(row) for row in G])
+        Gpp = blk(m_pp, sPP, dPP)
+        Grr = blk(m_rr, sRR, dRR)
+        Gpr = blk(m_pr, sPR, dPR)
+        top = jnp.concatenate([Gpp, Gpr], axis=1)
+        bot = jnp.concatenate([Gpr.T, Grr], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
 
     return assemble
 

@@ -303,6 +303,19 @@ def ca_cg(
         res = c["residual"].astype(cdt)
         trace = c["trace"]
         floor = jnp.asarray(False)
+        # Carried Gram products (exact recurrences): each inner step then
+        # needs ONE small matvec (GT @ p_hat) instead of three — the
+        # coefficient algebra runs in the wide dtype, whose tiny emulated
+        # ops are launch-count-bound on TPU (measured ~0.3 ms/iter for
+        # the naive 3-matvec form at 256^3).
+        #   G r_hat:  Gr2 = Gr - alpha * (GT p_hat)
+        #   G p_hat:  Gp2 = Gr2 + beta * Gp
+        #   G x_hat:  Gx2 = Gx + alpha * Gp
+        GT = Gc @ Tm
+        TG = jnp.concatenate([Tm, GT], axis=0)   # one matvec -> Tp | GTp
+        Gr = Gc[:, off]
+        Gp = Gc[:, 0]
+        Gx = jnp.zeros((mdim,), cdt)
         for _ in range(s):
             # Top-of-iteration checks, reference order (lcg.cpp:206-264):
             # a converged / max-iter / NaN state freezes, an alive state
@@ -315,14 +328,18 @@ def ca_cg(
             if trace is not None:
                 idx = jnp.where(alive, t, jnp.iinfo(jnp.int32).max)
                 trace = H.record_trace(trace, idx, res)
-            Tp = Tm @ p_hat
-            denom = p_hat @ (Gc @ Tp)
+            y = TG @ p_hat
+            Tp, GTp = y[:mdim], y[mdim:]
+            denom = p_hat @ GTp
             alpha = rr / denom
             x_hat2 = x_hat + alpha * p_hat
             r_hat2 = r_hat - alpha * Tp
-            rr2 = r_hat2 @ (Gc @ r_hat2)
+            Gr2 = Gr - alpha * GTp
+            Gx2 = Gx + alpha * Gp
+            rr2 = r_hat2 @ Gr2
             beta = rr2 / rr
             p_hat2 = r_hat2 + beta * p_hat
+            Gp2 = Gr2 + beta * Gp
             # A finite nonpositive r^T G r is impossible in exact
             # arithmetic: the coefficient algebra hit the Gram's
             # cancellation floor.  Freeze (don't accept the junk step)
@@ -334,9 +351,12 @@ def ca_cg(
             x_hat = jnp.where(accept, x_hat2, x_hat)
             r_hat = jnp.where(accept, r_hat2, r_hat)
             p_hat = jnp.where(accept, p_hat2, p_hat)
+            Gr = jnp.where(accept, Gr2, Gr)
+            Gp = jnp.where(accept, Gp2, Gp)
+            Gx = jnp.where(accept, Gx2, Gx)
             rr = jnp.where(accept, rr2, rr)
             t = t + accept.astype(jnp.int32)
-            xn = xxc + 2.0 * (wc @ x_hat) + x_hat @ (Gc @ x_hat)
+            xn = xxc + 2.0 * (wc @ x_hat) + x_hat @ Gx
             res = jnp.where(
                 alive,
                 H.real_residual(rr, jnp.maximum(xn, 1.0), n,
