@@ -23,22 +23,25 @@ advances s CG iterations per outer step:
    (A V c = V T c), zero vector-length work.
 4. Recover x, r, p with one pass over V.
 
-The basis+Gram stage is pluggable (``basis_gram_fn``) so a fused Pallas
-kernel (ops/pallas_powers.py) can produce V *and* G in a single HBM sweep
-for stencil operators — the step that actually beats the classic loop's
-traffic bound on a single chip.
+The basis+Gram stage is pluggable (``basis_gram_fn``); a fused Pallas
+kernel (ops/pallas_powers.py) produces V *and* G in a single HBM sweep
+for stencil operators.  Honest single-chip verdict (chip-measured,
+profiling/probe_r3_sstep.json): 1.72 ms/iter vs classic fused CG's 1.52
+at 256^3 f32 — the classic loop stays ahead on one chip; cacg's real win
+is the collective economy above (1 psum per s iterations), plus exact
+f64 iteration parity and +2% f32 iterations at 128^3.
 
 Numerics: in exact arithmetic the iterates equal classic CG's.  In finite
 precision the monomial basis conditions like kappa(A)^s — use the default
-Chebyshev basis (bounds from ``ops.spectra``) for s > 2-3.  All Gram and
-recovery contractions run at ``lax.Precision.HIGHEST`` (the TPU f32
-matmul default multiplies in bf16 — measured 1.3e-4 relative error on a
-Gram, CLAUDE.md).
+Chebyshev basis (bounds from ``ops.spectra``) for s > 2-3.  The Gram is
+accumulated AND KEPT in the wide dtype (``_wide_dtype``) and the recovery
+is an elementwise FMA sweep — see the in-code notes for the measured TPU
+failure modes behind both choices.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 import jax
