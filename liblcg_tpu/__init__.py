@@ -10,7 +10,9 @@ reference (single-process OpenMP / single GPU) never had:
 
 - hardware-shaped solver variants: pipelined CG (``cgp``), Chronopoulos-
   Gear fused CG (``cgf``), s-step communication-avoiding CG (``cacg``:
-  s iterations per basis build + ONE reduction, with a fused Pallas
+  s iterations per basis build + two reduction rounds (an s-fold
+  collective reduction vs classic CG's two per iteration), with a
+  fused Pallas
   matrix-powers+Gram kernel for stencil operators in the HBM regime),
   Chebyshev iteration, restarted GMRES(m), MINRES/PMINRES, a
   whole-solve VMEM-resident Pallas CG kernel;

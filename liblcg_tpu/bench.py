@@ -611,8 +611,8 @@ def bench_sstep():
     """s-step CA-CG at the HBM-regime scale (PERFORMANCE.md "s-step CG"):
     fixed-96-iteration device slope at 256^3 f32 through the fused
     Pallas powers+Gram kernel.  The single-chip decision number — classic
-    CG's lap256 field is the comparator; cacg's actual win (ONE psum per
-    s iterations vs 2 per iteration) is HLO-asserted in
+    CG's lap256 field is the comparator; cacg's actual win (2 psum rounds
+    per s iterations vs 2 per iteration) is HLO-asserted in
     tests/test_sstep.py and matters on multi-chip meshes."""
     import liblcg_tpu as lcg
     from liblcg_tpu.ops import pallas_powers as PP
@@ -633,10 +633,18 @@ def bench_sstep():
         return ca_cg(A, b, s=s, basis="chebyshev", lmin=0.0, lmax=12.0,
                      params=pfix, basis_gram_fn=fn)["x"]
 
+    # The achieved iteration count, not the nominal one: ca_cg's
+    # Gram-floor stall guard may exit early at eps=1e-30, and dividing
+    # the slope by a fixed 96 would silently deflate ms_per_iter.
+    done = ca_cg(A, b, s=s, basis="chebyshev", lmin=0.0, lmax=12.0,
+                 params=pfix, basis_gram_fn=fn)
+    t_done = max(int(done["t"]), 1)
+
     dev, wall = _slope(one, b, K=3)
-    out = {"wall_ms": wall * 1e3, "s": s, "iters": iters}
+    out = {"wall_ms": wall * 1e3, "s": s, "iters": t_done,
+           "ran_full_budget": t_done == iters}
     if dev is not None:
-        out["ms_per_iter"] = dev * 1e3 / iters
+        out["ms_per_iter"] = dev * 1e3 / t_done
     return out
 
 

@@ -16,8 +16,9 @@ advances s CG iterations per outer step:
    r, P1(A)r, ..., P_{s-1}(A)r]  with a three-term polynomial recurrence
    (monomial or, for conditioning, Chebyshev on a spectral interval).
 2. One Gram matrix  G = [V; x]^T [V; x]  — the ONLY reduction for s
-   iterations (sharded: ONE psum per s iterations instead of 2 per
-   iteration — the communication-avoiding property that names the method).
+   iterations (sharded: TWO reduction rounds per s iterations — the Gram
+   psum and the block-end norm psum — instead of 2 per iteration: the
+   s-fold collective economy that names the method).
 3. Run the s CG recurrences exactly, in (2s+1)-dimensional coefficient
    space: alpha/beta from G and the tridiagonal basis-change matrix T
    (A V c = V T c), zero vector-length work.
@@ -28,7 +29,8 @@ kernel (ops/pallas_powers.py) produces V *and* G in a single HBM sweep
 for stencil operators.  Honest single-chip verdict (chip-measured,
 profiling/probe_r3_sstep.json): 1.72 ms/iter vs classic fused CG's 1.52
 at 256^3 f32 — the classic loop stays ahead on one chip; cacg's real win
-is the collective economy above (1 psum per s iterations), plus exact
+is the collective economy above (2 psum rounds per s iterations vs
+classic CG's 2 per iteration), plus exact
 f64 iteration parity and +2% f32 iterations at 128^3.
 
 Numerics: in exact arithmetic the iterates equal classic CG's.  In finite
@@ -179,7 +181,8 @@ def ca_cg(
 ):
     """s-step CG for SPD systems: mathematically classic CG (identical
     iterates in exact arithmetic; stopping metric lcg.cpp:186-209), with s
-    iterations of progress per basis build + ONE reduction.
+    iterations of progress per basis build + two reduction rounds
+    (vs classic CG's two per iteration — an s-fold collective saving).
 
     ``basis_gram_fn(A, p, r, x) -> (parts, G, w, xx)`` overrides the
     basis stage (the fused Pallas kernel plugs in here); ``parts`` is a
@@ -314,7 +317,10 @@ def ca_cg(
         #   G r_hat:  Gr2 = Gr - alpha * (GT p_hat)
         #   G p_hat:  Gp2 = Gr2 + beta * Gp
         #   G x_hat:  Gx2 = Gx + alpha * Gp
-        GT = Gc @ Tm
+        # Solver-critical contraction: HIGHEST precision (the TPU f32
+        # default multiplies in bf16 passes, CLAUDE.md — and GTp feeds
+        # alpha/beta through the cancellation-prone Gram algebra).
+        GT = jnp.matmul(Gc, Tm, precision=_HI)
         TG = jnp.concatenate([Tm, GT], axis=0)   # one matvec -> Tp | GTp
         Gr = Gc[:, off]
         Gp = Gc[:, 0]

@@ -156,10 +156,36 @@ def test_sharded_cacg_matches_single_device():
                                rtol=1e-9, atol=1e-9)
 
 
-def test_sharded_cacg_one_psum_per_block():
+def _while_body_text(txt: str) -> str:
+    """Extract the (largest) while-loop body computation from HLO text.
+
+    HLO text lays computations out flat (one brace level per
+    computation); the while instruction names its body via ``body=%name``.
+    An earlier version of this test grepped ``%region_\\d+`` fragments —
+    the compiled body is actually named ``%wide.region_..._spmd...``, so
+    that regex matched nothing and the assertion was vacuous."""
+    import re
+
+    names = re.findall(r"body=%([\w.\-]+)", txt)
+    assert names, "no while loop found in compiled HLO"
+    bodies = []
+    for name in names:
+        m = re.search(
+            r"^%?" + re.escape(name) + r"[^\n]*\{\n(.*?)\n\}",
+            txt, re.S | re.M,
+        )
+        if m:
+            bodies.append(m.group(1))
+    assert bodies, f"while bodies {names} not found in HLO text"
+    return max(bodies, key=len)
+
+
+def test_sharded_cacg_collectives_per_block():
     """The communication-avoiding property, asserted on the compiled HLO:
-    ONE all-reduce per s-iteration block (classic CG needs 2 per
-    iteration — test_weak_scaling asserts that bound separately)."""
+    the while body (= ONE s-iteration block) contains at most 2
+    all-reduces — the Gram/moment psum and the block-end norm psum — so
+    collectives per ITERATION are 2/s, an s-fold reduction vs classic
+    CG's 2 per iteration (test_weak_scaling pins the classic bound)."""
     from liblcg_tpu.parallel import ShardedLaplacian3D, make_mesh
     from liblcg_tpu.solvers import harness as H
     from jax import shard_map
@@ -180,12 +206,13 @@ def test_sharded_cacg_one_psum_per_block():
     txt = jax.jit(fn).lower(jnp.ones((g ** 3,))).compile().as_text()
     import re
 
-    bodies = re.findall(r"%region_\d+[^{]*\{(?:[^{}]|\{[^{}]*\})*\}", txt)
-    # locate the while-body region containing the outer-step computation:
-    # count all-reduces in the largest region (the solve body).
-    body = max(bodies, key=len) if bodies else txt
-    n_ar = len(re.findall(r"all-reduce", body))
-    assert n_ar <= 1, f"expected <= 1 all-reduce per s-block, found {n_ar}"
+    body = _while_body_text(txt)
+    # opcode occurrences only — operand references like
+    # get-tuple-element(%all-reduce.8) must not count
+    n_ar = len(re.findall(r"(?<!%)all-reduce\(", body))
+    assert 1 <= n_ar <= 2, (
+        f"expected 1-2 all-reduces per s-block, found {n_ar}"
+    )
 
 
 def test_basis_gram_consistency():

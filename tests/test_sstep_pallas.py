@@ -17,8 +17,11 @@ from liblcg_tpu.solvers.sstep import basis_recurrence, ca_cg, xla_basis_gram
 from liblcg_tpu.types import Status
 
 
-def _setup(grid=(16, 8, 128), seed=0):
-    # kernel-facing vectors carry the operator's native 3-D shape
+def _setup(grid=(64, 8, 128), seed=0):
+    # kernel-facing vectors carry the operator's native 3-D shape.
+    # nz=64 -> bz=32 -> TWO grid blocks: the inter-block halo slices and
+    # cross-step SMEM moment accumulation are on the tested path (a
+    # 16-plane grid runs a single block and never exercises them).
     A = lcg.Laplacian3DOperator(*grid, dtype=jnp.float32)
     n = grid[0] * grid[1] * grid[2]
     rng = np.random.default_rng(seed)
@@ -51,8 +54,9 @@ def test_interpret_parity_vs_xla(s, basis):
 
 def test_multiblock_edge_masking():
     """z-Dirichlet ghost re-zeroing: multi-block grids must agree with the
-    XLA operator chain at every level (the level >= 2 edge-block bug)."""
-    A, p, r, x = _setup(grid=(32, 8, 128), seed=3)
+    XLA operator chain at every level (the level >= 2 edge-block bug).
+    nz=128 -> bz=32 -> FOUR grid blocks (two interior, two edge)."""
+    A, p, r, x = _setup(grid=(128, 8, 128), seed=3)
     s = 4
     abc = basis_recurrence(s, "chebyshev", 0.0, 12.0)
     fn = PP.make_basis_gram(A, s=s, abc=abc, basis="chebyshev",
