@@ -573,12 +573,17 @@ def bench_complex_banded():
 
 def bench_complex1k():
     """Scattered-complex decision workload (VERDICT r2 #7): the shipped
-    case_1K complex system on-chip through the realified scan-DIA form.
-    Best method found: Jacobi-preconditioned CGNR (CG on A^H A with
-    diag(A^H A) Jacobi — 200 iterations vs plain CGNR's 291; GMRES(128)/
-    BiCGSTAB/CGS all fail on this system's realified spectrum).  The
-    capability matched is the whole clcg_cuda.cu complex-on-accelerator
-    stack; this backend has no complex dtypes (CLAUDE.md)."""
+    case_1K complex system on-chip.  Best recipe found (round 3, three
+    measured contenders): Jacobi-preconditioned CGNR (GMRES(128)/
+    BiCGSTAB/CGS all fail on this system's realified spectrum) over the
+    DENSIFIED realified operator — the reference's own sample4 densifies
+    this exact system (sample4.cpp:126-141) — solved by mixed-precision
+    refinement so the inner dense products run as f32 MXU matmuls.
+    Measured walls: scan-DIA f64 480 ms, dense f64 958 ms (f64 MXU
+    matmuls are emulated ~12x), dense f32-inner refined **43 ms** at
+    BETTER accuracy (2e-10 vs 1e-8).  The capability matched is the
+    whole clcg_cuda.cu complex-on-accelerator stack; this backend has no
+    complex dtypes (CLAUDE.md)."""
     import liblcg_tpu as lcg
     from liblcg_tpu.utils import io
 
@@ -590,21 +595,25 @@ def bench_complex1k():
                             complex_values=True)
     n = sys_.n
     r2, c2, v2 = lcg.realify_coo(sys_.rows, sys_.cols, sys_.vals)
-    A2 = lcg.make_sparse_operator(2 * n, 2 * n, r2, c2, v2, format="dia")
+    dense = np.zeros((2 * n, 2 * n))
+    np.add.at(dense, (r2, c2), v2)
+    A2 = lcg.DenseOperator(jnp.asarray(dense))
     b2 = jnp.asarray(lcg.split_complex_interleaved(sys_.b))
     NE = lcg.NormalEqOperator(A2)
     rhs = A2.rmv(b2)
     params = lcg.SolverParams(epsilon=1e-16)
     M = lcg.JacobiPreconditioner(NE)
 
-    res = lcg.solve(NE, rhs, method="pcg", M=M, params=params)
+    res = lcg.solve_refined(NE, rhs, method="pcg", M=M, params=params)
     np.asarray(res.x[:4])
     x = lcg.merge_complex_interleaved(np.asarray(res.x))
     err = float(np.max(np.abs(x - answer)))
-    best = _best(lambda: lcg.solve(NE, rhs, method="pcg", M=M, params=params),
-                 reps=3, sync=lambda r: np.asarray(r.x[:4]))
+    best = _best(
+        lambda: lcg.solve_refined(NE, rhs, method="pcg", M=M, params=params),
+        reps=3, sync=lambda r: np.asarray(r.x[:4]))
     return {"wall_ms": best * 1e3, "iterations": int(res.iterations),
-            "method": "jacobi-cgnr", "ok": bool(res.converged and err < 1e-6)}
+            "method": "refined-dense-cgnr",
+            "ok": bool(res.converged and err < 1e-6)}
 
 
 def bench_sstep():
