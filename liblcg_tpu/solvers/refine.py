@@ -149,11 +149,12 @@ def solve_refined(
     from ..solve import canonical_method
 
     m = canonical_method(method)
-    if m not in _INNER_ENGINES:
+    if m not in _INNER_ENGINES and m != "cacg":
         raise ValueError(
             f"solve_refined supports the unconstrained real engines "
-            f"{sorted(_INNER_ENGINES)}; got {m!r}.  For complex systems "
-            "realify the operator first (PARITY.md decision tree)."
+            f"{sorted(_INNER_ENGINES) + ['cacg']}; got {m!r}.  For "
+            "complex systems realify the operator first (PARITY.md "
+            "decision tree)."
         )
     b = jnp.asarray(b)
     if jnp.issubdtype(b.dtype, jnp.complexfloating):
@@ -170,7 +171,21 @@ def solve_refined(
     A = A if isinstance(A, LinearOperator) else aslinearoperator(
         A, n=b.shape[0], dtype=b.dtype)
 
-    fn, needs_M = _INNER_ENGINES[m]
+    if m == "cacg":
+        # s-step inner engine: Chebyshev bounds baked at setup (the
+        # multi-chip composition — f64-class accuracy at cacg's s-fold
+        # collective economy).  Default s=4 (PERFORMANCE.md "s-step CG").
+        from functools import partial
+
+        from ..ops.spectra import gershgorin_bounds
+        from .sstep import ca_cg as _ca_cg
+
+        glo, ghi = gershgorin_bounds(A)
+        fn = partial(_ca_cg, s=4, basis="chebyshev",
+                     lmin=max(float(glo), 0.0), lmax=float(ghi))
+        needs_M = False
+    else:
+        fn, needs_M = _INNER_ENGINES[m]
     if M is not None and not needs_M:
         raise ValueError(
             f"method {m!r} does not use a preconditioner; M would be "

@@ -239,3 +239,20 @@ def test_basis_gram_consistency():
         rhs = bc[j] * V[j + 1] + a[j] * V[j] + (cc[j] * V[j - 1] if j else 0)
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
                                    rtol=1e-10, atol=1e-10)
+
+
+def test_refined_cacg_inner_engine():
+    """solve_refined composes with the s-step inner engine: full
+    working-precision residuals at cacg's collective economy (the
+    multi-chip recipe)."""
+    g = 16
+    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(g ** 3))
+    params = lcg.SolverParams(epsilon=1e-24)
+    ref = lcg.solve_refined(A, b, method="cg", params=params)
+    res = lcg.solve_refined(A, b, method="cacg", params=params)
+    assert res.converged
+    tr = float(jnp.linalg.norm(b - A.mv(res.x)) / jnp.linalg.norm(b))
+    assert tr < 1e-13
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 10
