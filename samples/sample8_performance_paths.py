@@ -117,6 +117,25 @@ def main():
     print(f"complex {n} (realified DIA)  {res.status.name:12s} "
           f"iters={int(res.iterations):4d} max_err={err:.2e}  wall={ms:7.1f} ms")
     assert err < 1e-6
+
+    # -- 5: s-step communication-avoiding CG (solvers/sstep.py) -----------
+    # s iterations per Chebyshev-basis build, two reduction rounds per
+    # block (vs classic CG's two per iteration); on stencil operators the
+    # fused Pallas powers+Gram kernel builds basis AND Gram in one sweep.
+    g = 32
+    AL = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float32)
+    bL = jnp.ones((g ** 3,), jnp.float32)
+    t0 = time.perf_counter()
+    res = lcg.solve(AL, bL, method="cacg", s=4,
+                    params=lcg.SolverParams(epsilon=1e-10))
+    np.asarray(res.x[:4])
+    ms = (time.perf_counter() - t0) * 1e3
+    ref = lcg.solve(AL, bL, method="cg", pallas="never",
+                    params=lcg.SolverParams(epsilon=1e-10))
+    print(f"cacg s=4 Laplacian {g}^3     {res.status.name:12s} "
+          f"iters={int(res.iterations):4d} (classic cg: "
+          f"{int(ref.iterations)})  wall={ms:7.1f} ms")
+    assert res.converged
     print("SAMPLE8 OK")
 
 
