@@ -114,10 +114,17 @@ def solve_refined(
     M_low=None,
     trace_len: int = 0,
     pallas: str = "auto",
+    lmin=None,
+    lmax=None,
+    s: int = 4,
     check: bool = False,
 ) -> SolveResult:
     """Solve ``A x = b`` to working-precision accuracy via mixed-precision
     iterative refinement (inner solves at ``inner_dtype``).
+
+    ``method="cacg"`` runs the s-step engine inside the refinement loop
+    (``s``/``lmin``/``lmax`` as in :func:`liblcg_tpu.solve`; bounds
+    default to Gershgorin of ``A``).
 
     Parameters
     ----------
@@ -172,18 +179,17 @@ def solve_refined(
         A, n=b.shape[0], dtype=b.dtype)
 
     if m == "cacg":
-        # s-step inner engine: Chebyshev bounds baked at setup (the
-        # multi-chip composition — f64-class accuracy at cacg's s-fold
-        # collective economy).  Default s=4 (PERFORMANCE.md "s-step CG").
-        from functools import partial
+        # s-step inner engine (the multi-chip composition — f64-class
+        # accuracy at cacg's s-fold collective economy).  Resolved
+        # through solve._resolve_engine so the partial is CACHED (a
+        # fresh partial per call would defeat _JIT_CACHE — measured: a
+        # full retrace per solve), the caller's pallas= policy threads
+        # into the inner kernel routing, and lmin/lmax/s pass through
+        # for operators Gershgorin cannot bound.
+        from ..solve import _resolve_engine
 
-        from ..ops.spectra import gershgorin_bounds
-        from .sstep import ca_cg as _ca_cg
-
-        glo, ghi = gershgorin_bounds(A)
-        fn = partial(_ca_cg, s=4, basis="chebyshev",
-                     lmin=max(float(glo), 0.0), lmax=float(ghi))
-        needs_M = False
+        fn, needs_M, _ = _resolve_engine("cacg", False, A=A, lmin=lmin,
+                                         lmax=lmax, s=s, pallas=pallas)
     else:
         fn, needs_M = _INNER_ENGINES[m]
     if M is not None and not needs_M:

@@ -256,3 +256,27 @@ def test_refined_cacg_inner_engine():
     tr = float(jnp.linalg.norm(b - A.mv(res.x)) / jnp.linalg.norm(b))
     assert tr < 1e-13
     assert abs(int(res.iterations) - int(ref.iterations)) <= 10
+
+
+def test_refined_cacg_engine_is_cached():
+    """The inner cacg engine must resolve to a CACHED partial: a fresh
+    partial per call defeats refine._JIT_CACHE and re-traces the whole
+    refinement program every solve (code-review finding).  lmin/lmax
+    must also pass through for operators Gershgorin cannot bound."""
+    from liblcg_tpu.solvers import refine as RF
+
+    g = 12
+    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float64)
+    b = jnp.ones((g ** 3,))
+    params = lcg.SolverParams(epsilon=1e-20)
+    n0 = len(RF._JIT_CACHE)
+    lcg.solve_refined(A, b, method="cacg", params=params)
+    lcg.solve_refined(A, b, method="cacg", params=params)
+    assert len(RF._JIT_CACHE) - n0 == 1
+
+    Amf = lcg.aslinearoperator(lambda v: A.mv(v), n=g ** 3,
+                               dtype=jnp.float64)
+    A32 = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float32)
+    r = lcg.solve_refined(Amf, b, method="cacg", params=params,
+                          lmin=0.0, lmax=12.0, A_low=A32)
+    assert r.converged
