@@ -365,7 +365,11 @@ def ca_cg(
             Gx = jnp.where(accept, Gx2, Gx)
             rr = jnp.where(accept, rr2, rr)
             t = t + accept.astype(jnp.int32)
-            xn = xxc + 2.0 * (wc @ x_hat) + x_hat @ Gx
+            # one (2, m) matvec instead of two dots: each tiny wide-dtype
+            # reduction lowers to its own ~49 us emulation loop on TPU
+            # (profiled) — batching halves that launch tax
+            xd = jnp.stack([wc, Gx]) @ x_hat
+            xn = xxc + 2.0 * xd[0] + xd[1]
             res = jnp.where(
                 alive,
                 H.real_residual(rr, jnp.maximum(xn, 1.0), n,
@@ -379,21 +383,26 @@ def ca_cg(
         # 3-way bf16 operand splits in HBM (observed: a bf16[8,m,n]
         # temp, ~3x the basis size) — the elementwise form is both full
         # f32 precision and the traffic model's 2s+5 streams.
+        # Device profiling showed three separate accumulators become
+        # three XLA fusions, each re-reading every basis row
+        # (2.63 ms/block at 256^3); ONE stacked (3, ...) accumulation is
+        # a single sweep.  (Carrying the whole solve state stacked was
+        # tried and measured WORSE — the pallas operand and the floor
+        # select then materialize slice/bitcast and select passes, 2.12
+        # vs 1.67 ms/iter — so the stack exists only inside this sweep.)
         vdt = parts[0].dtype
-        cx = x_hat.astype(vdt)
-        cr = r_hat.astype(vdt)
-        cp = p_hat.astype(vdt)
-        dx = jnp.zeros((), vdt)
-        r_rec = jnp.zeros((), vdt)
-        p_rec_acc = jnp.zeros((), vdt)
+        nd1 = parts[0].ndim - 1
+        C3 = jnp.stack([x_hat, r_hat, p_hat]).astype(vdt)   # (3, mdim)
+        out3 = None
         k0 = 0
         for part in parts:
             for j in range(part.shape[0]):
-                v = part[j]
-                dx = dx + cx[k0] * v
-                r_rec = r_rec + cr[k0] * v
-                p_rec_acc = p_rec_acc + cp[k0] * v
+                v = part[j][None]
+                coef = C3[:, k0].reshape((3,) + (1,) * nd1)
+                term = coef * v
+                out3 = term if out3 is None else out3 + term
                 k0 += 1
+        dx, r_rec, p_rec_acc = out3[0], out3[1], out3[2]
         x_new = c["x"] + dx
         # The authoritative block-end residual is the NORM OF THE
         # RECOVERED RESIDUAL VECTOR — exactly the quantity classic CG's
