@@ -390,6 +390,11 @@ def ca_cg(
         # tried and measured WORSE — the pallas operand and the floor
         # select then materialize slice/bitcast and select passes, 2.12
         # vs 1.67 ms/iter — so the stack exists only inside this sweep.)
+        # A Gram-floor hit restarts the direction (p := r) — applied in
+        # COEFFICIENT space (p_rec = V p_hat, r_rec = V r_hat: selecting
+        # coefficients yields the identical vector), so the restart
+        # costs a 9-element select instead of a full extra vector pass.
+        p_hat = jnp.where(floor, r_hat, p_hat)
         vdt = parts[0].dtype
         nd1 = parts[0].ndim - 1
         C3 = jnp.stack([x_hat, r_hat, p_hat]).astype(vdt)   # (3, mdim)
@@ -418,9 +423,7 @@ def ca_cg(
         res_vec = H.real_residual(rr_out, m_mod, n, params.abs_diff)
         res_out = jnp.where(jnp.isnan(res.astype(b.real.dtype)),
                             jnp.asarray(jnp.nan, b.real.dtype), res_vec)
-        # A Gram-floor hit restarts the direction (p := r): the stale
-        # coefficient-space Krylov state cannot make further progress.
-        p_new = jnp.where(floor, r_rec, p_rec_acc)
+        p_new = p_rec_acc
 
         if recompute_residual:
             # Optional paranoia: also replace r with the TRUE residual
