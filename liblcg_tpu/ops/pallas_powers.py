@@ -85,6 +85,39 @@ def supported(grid: Tuple[int, int, int], dtype, s: int) -> bool:
     )
 
 
+def _vmem_estimate_fused(bz: int, ny: int, nx: int, s: int) -> int:
+    """Scoped-VMEM model for the larger of the two storeless sweeps (the
+    recover sweep): double-buffered inputs + halos, double-buffered
+    x/r/p outputs, 3 live chain buffers, and the 3 stacked accumulator
+    blocks.  The gram-only sweep is strictly smaller (no block outputs,
+    no accumulators)."""
+    plane = ny * nx * 4
+    ins = 2 * (3 * bz + 2 * (s + max(s - 1, 1))) * plane
+    outs = 2 * 3 * bz * plane
+    work = 3 * (bz + 2 * s) * plane
+    accs = 3 * bz * plane
+    return ins + outs + work + accs
+
+
+def _pick_bz_fused(nz: int, ny: int, nx: int, s: int) -> int:
+    for bz in (32, 16, 8, 4, 2):
+        if (nz % bz == 0 and s <= bz
+                and _vmem_estimate_fused(bz, ny, nx, s) <= _VMEM_BUDGET):
+            return bz
+    return 0
+
+
+def supported_fused(grid: Tuple[int, int, int], dtype, s: int) -> bool:
+    nz, ny, nx = grid
+    return (
+        jnp.dtype(dtype) == jnp.float32
+        and 2 <= s <= 6
+        and nx % 128 == 0
+        and ny % 8 == 0
+        and _pick_bz_fused(nz, ny, nx, s) > 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Moment -> Gram reconstruction (static, host-side numpy)
 # ---------------------------------------------------------------------------
@@ -160,9 +193,14 @@ def _stencil_ext(u):
     )
 
 
-def _make_kernel(s: int, bz: int, nz: int, abc):
+def _make_kernel(s: int, bz: int, nz: int, abc, write_v: bool = True):
     """Kernel body closure.  Chain levels live in VMEM only; cores are
     written to the V outputs; the 8s+2 moment dots accumulate in SMEM.
+
+    ``write_v=False`` builds the GRAM-ONLY variant for the storeless
+    two-sweep stepper (make_fused_stepper): identical chain + moment
+    math, but the basis is never stored to HBM — the recover sweep
+    recomputes it.  That drops the 2s-1 output streams from this sweep.
 
     acc layout: [D_pp (2s+1) | D_rr (2s-1) | D_pr (2s) | w (2s+1) | xx]
     """
@@ -175,7 +213,12 @@ def _make_kernel(s: int, bz: int, nz: int, abc):
     o_xx = o_w + 2 * s + 1
 
     def kernel(p_ref, r_ref, x_ref, plo_ref, phi_ref, rlo_ref, rhi_ref,
-               vp_ref, vr_ref, acc_ref):
+               *out_refs):
+        if write_v:
+            vp_ref, vr_ref, acc_ref = out_refs
+        else:
+            vp_ref = vr_ref = None
+            (acc_ref,) = out_refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -215,7 +258,8 @@ def _make_kernel(s: int, bz: int, nz: int, abc):
                     ) + (i * bz - off)
                     nxt = jnp.where((zidx >= 0) & (zidx < nz), nxt, 0.0)
                 core = nxt[off:off + bz] if off else nxt
-                out_ref[j] = core
+                if out_ref is not None:
+                    out_ref[j] = core
                 # antidiagonal dots: D_{2j+1} = <v_{j+1}, v_j>,
                 # D_{2j+2} = <v_{j+1}, v_{j+1}>
                 acc_ref[d_base + 2 * j + 1] += jnp.sum(core * cores[j])
@@ -244,6 +288,81 @@ def _make_kernel(s: int, bz: int, nz: int, abc):
                 acc_ref[o_pr + 2 * j + 1] += jnp.sum(p_cores[j + 1] * rj)
 
     return kernel, n_acc
+
+
+def _make_recover_kernel(s: int, bz: int, nz: int, abc):
+    """The second storeless sweep: REBUILD both chains (bit-identical
+    arithmetic to the gram sweep — same ops, same order) and accumulate
+    the three recovery combinations directly,
+
+        x_new = x + Σ_k C3[0,k] v_k,   r_new = Σ_k C3[1,k] v_k,
+        p_new = Σ_k C3[2,k] v_k,
+
+    so the basis never exists in HBM.  The block-end stopping moments
+    ‖r_new‖² and ‖x_new‖² accumulate in SMEM (acc[0], acc[1]) — the
+    XLA path pays an extra fused pass for those norms; here they ride
+    the output stream.  C3 arrives as a (3, 2s+1) f32 SMEM operand
+    (scalar loads broadcast against the VMEM blocks)."""
+    a, b, c = abc
+    sr = s - 1
+
+    def kernel(c3_ref, p_ref, r_ref, x_ref, plo_ref, phi_ref, rlo_ref,
+               rhi_ref, xout_ref, rout_ref, pout_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[0] = 0.0
+            acc_ref[1] = 0.0
+
+        x_blk = x_ref[...]
+        out = [None, None, None]          # dx, r_new, p_new accumulators
+
+        def contribute(core, k):
+            for row in range(3):
+                term = c3_ref[row, k] * core
+                out[row] = term if out[row] is None else out[row] + term
+
+        def chain(v0_ext, ghost, n_levels, k_base):
+            cores0 = v0_ext[ghost:ghost + bz] if ghost else v0_ext
+            contribute(cores0, k_base)
+            prev, cur = None, v0_ext
+            for j in range(n_levels):
+                nxt = _stencil_ext(cur) - a[j] * cur[1:-1]
+                if j >= 1 and c[j] != 0.0:
+                    nxt = nxt - c[j] * prev[2:-2]
+                if b[j] != 1.0:
+                    nxt = nxt * (1.0 / b[j])
+                off = ghost - (j + 1)
+                if off > 0:
+                    ext = bz + 2 * off
+                    zidx = jax.lax.broadcasted_iota(
+                        jnp.int32, (ext, 1, 1), 0
+                    ) + (i * bz - off)
+                    nxt = jnp.where((zidx >= 0) & (zidx < nz), nxt, 0.0)
+                core = nxt[off:off + bz] if off else nxt
+                contribute(core, k_base + j + 1)
+                prev, cur = cur, nxt
+
+        p_ext = jnp.concatenate([plo_ref[0], p_ref[...], phi_ref[0]], axis=0)
+        chain(p_ext, s, s, 0)
+        if sr > 0:
+            r_ext = jnp.concatenate(
+                [rlo_ref[0], r_ref[...], rhi_ref[0]], axis=0
+            )
+        else:
+            r_ext = r_ref[...]
+        chain(r_ext, sr, sr, s + 1)
+
+        x_new = x_blk + out[0]
+        r_new = out[1]
+        xout_ref[...] = x_new
+        rout_ref[...] = r_new
+        pout_ref[...] = out[2]
+        acc_ref[0] += jnp.sum(r_new * r_new)
+        acc_ref[1] += jnp.sum(x_new * x_new)
+
+    return kernel
 
 
 def _halos(a3, nblocks: int, bz: int, depth: int):
@@ -316,22 +435,11 @@ def _powers_raw(p, r, x, *, grid, s, abc, interpret=False):
     )(p3, r3, x3, plo, phi, rlo, rhi)
 
 
-def _assemble(p, r, vp, vr, acc, *, grid, s, basis):
-    """Basis parts + moment->Gram reconstruction (wide dtype).
-
-    The basis is returned as PARTS (p, Vp, r, Vr) in canonical order —
-    never concatenated: a stacked copy of V costs a full extra
-    read+write of the basis per outer step (~1 ms/iter at 256^3 f32,
-    measured), and the recovery contraction consumes parts directly."""
+def _assemble_moments(acc, *, s, basis):
+    """moment->Gram reconstruction (wide dtype): acc -> (G, w, xx)."""
     from ..solvers.sstep import _wide_dtype
 
-    nz, ny, nx = grid
     sr = s - 1
-    # Parts stay in the kernel's native (levels, nz, ny, nx) layout —
-    # reshaping a pallas output to (levels, n) re-tiles the buffer (a
-    # full read+write).  The recovery FMA chain is shape-agnostic.
-    parts = (p[None], vp, r[None], vr[:sr])
-
     wide = _wide_dtype(jnp.float32)
     if wide is not None:
         acc = acc.astype(wide)
@@ -347,7 +455,100 @@ def _assemble(p, r, vp, vr, acc, *, grid, s, basis):
         m_rr = _moments_from_D(D_rr) if sr > 0 else D_rr
         m_pr = _moments_from_D(D_pr)
     G = _gram_assembler(s, basis)(m_pp, m_rr, m_pr)
+    return G, w, xx
+
+
+def _assemble(p, r, vp, vr, acc, *, grid, s, basis):
+    """Basis parts + moment->Gram reconstruction (wide dtype).
+
+    The basis is returned as PARTS (p, Vp, r, Vr) in canonical order —
+    never concatenated: a stacked copy of V costs a full extra
+    read+write of the basis per outer step (~1 ms/iter at 256^3 f32,
+    measured), and the recovery contraction consumes parts directly."""
+    sr = s - 1
+    # Parts stay in the kernel's native (levels, nz, ny, nx) layout —
+    # reshaping a pallas output to (levels, n) re-tiles the buffer (a
+    # full read+write).  The recovery FMA chain is shape-agnostic.
+    parts = (p[None], vp, r[None], vr[:sr])
+    G, w, xx = _assemble_moments(acc, s=s, basis=basis)
     return parts, G, w, xx
+
+
+def _fused_io(p, r, x, *, grid, s, bz):
+    """Shared input plumbing for the two storeless sweeps: halo arrays
+    (XLA-built; CSE'd between the sweeps — both are traced from the same
+    p/r/x in one jit) and the input block specs."""
+    nz, ny, nx = grid
+    nblocks = nz // bz
+    sr = s - 1
+    dt = jnp.float32
+    plo, phi = _halos(p, nblocks, bz, s)
+    if sr > 0:
+        rlo, rhi = _halos(r, nblocks, bz, sr)
+    else:
+        rlo = jnp.zeros((nblocks, 1, ny, nx), dt)
+        rhi = jnp.zeros((nblocks, 1, ny, nx), dt)
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    blk = pl.BlockSpec((bz, ny, nx), lambda i: (_i32(i), 0, 0))
+    halo_s = pl.BlockSpec((1, s, ny, nx), lambda i: (_i32(i), 0, 0, 0))
+    halo_r = pl.BlockSpec(
+        (1, max(sr, 1), ny, nx), lambda i: (_i32(i), 0, 0, 0)
+    )
+    operands = (p, r, x, plo, phi, rlo, rhi)
+    in_specs = [blk, blk, blk, halo_s, halo_s, halo_r, halo_r]
+    return operands, in_specs, blk, nblocks
+
+
+def _gram_raw(p, r, x, *, grid, s, abc, bz, interpret=False):
+    """Sweep 1 of the storeless stepper: moments only, no basis writes.
+    Reads 3 blocks + halos, writes 8s+2 SMEM scalars — ~3.5 streams."""
+    nz, ny, nx = grid
+    operands, in_specs, _, nblocks = _fused_io(p, r, x, grid=grid, s=s,
+                                               bz=bz)
+    kernel, n_acc = _make_kernel(s, bz, nz, abc, write_v=False)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_acc,), jnp.float32),
+        interpret=interpret,
+        **kw,
+    )(*operands)
+
+
+def _recover_raw(C3, p, r, x, *, grid, s, abc, bz, interpret=False):
+    """Sweep 2: rebuild the chains and write x/r/p directly —
+    reads 3 blocks + halos, writes 3 blocks (~6.5 streams).  Returns
+    (x_new, r_new, p_new, acc2) with acc2 = [‖r_new‖², ‖x_new‖²]."""
+    nz, ny, nx = grid
+    operands, in_specs, blk, nblocks = _fused_io(p, r, x, grid=grid, s=s,
+                                                 bz=bz)
+    kernel = _make_recover_kernel(s, bz, nz, abc)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    shp = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs,
+        out_specs=(blk, blk, blk, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(shp, shp, shp,
+                   jax.ShapeDtypeStruct((2,), jnp.float32)),
+        interpret=interpret,
+        **kw,
+    )(C3, *operands)
 
 
 def make_basis_gram(A, *, s: int, abc, basis: str, interpret: bool = False):
@@ -376,3 +577,52 @@ def make_basis_gram(A, *, s: int, abc, basis: str, interpret: bool = False):
     # (flat<->3-D reshapes at the custom-call boundary are relayouts).
     basis_gram.vec_shape = grid
     return basis_gram
+
+
+class FusedStepper:
+    """Storeless two-sweep s-step stepper (see _gram_raw/_recover_raw):
+    the Krylov basis is never materialized in HBM — sweep 1 produces the
+    moments, sweep 2 REBUILDS the chains (bit-identical arithmetic) and
+    accumulates x/r/p directly.  Per s iterations this is ~10 vector
+    streams against the basis-storing path's ~23 (the 2s-1 basis writes
+    + the 2s+2 recovery reads), at the cost of recomputing the 2s-1
+    stencil chains — VPU flops the bandwidth-bound regime has to spare.
+    The amortized chain cost is (2·(2s-1)+... )/s ≈ 3.5 stencil
+    applications per iteration vs classic CG's 1."""
+
+    def __init__(self, grid, s, abc, basis, bz, interpret=False):
+        self.vec_shape = grid
+        self._kw = dict(grid=grid, s=s, abc=abc, bz=bz, interpret=interpret)
+        self._s = s
+        self._basis = basis
+
+    def gram(self, A, p, r, x):
+        with jax.enable_x64(False):
+            acc = _gram_raw(p, r, x, **self._kw)
+        return _assemble_moments(acc, s=self._s, basis=self._basis)
+
+    def recover(self, C3, p, r, x):
+        with jax.enable_x64(False):
+            xn, rn, pn, acc2 = _recover_raw(
+                C3.astype(jnp.float32), p, r, x, **self._kw
+            )
+        return xn, rn, pn, acc2[0], acc2[1]
+
+
+def make_fused_stepper(A, *, s: int, abc, basis: str,
+                       interpret: bool = False):
+    """Storeless stepper for :func:`solvers.sstep.ca_cg` over a
+    :class:`parallel.stencil.Laplacian3DOperator` (f32).  Returns None
+    when unsupported (caller falls back to the basis-storing kernel or
+    XLA)."""
+    from ..parallel.stencil import Laplacian3DOperator
+    from ..solvers import harness as H
+
+    if not isinstance(A, Laplacian3DOperator):
+        return None
+    if not supported_fused(A.grid, A.dtype, s):
+        return None
+    if H.dist_axis() is not None or H.batch_active():
+        return None
+    bz = _pick_bz_fused(*A.grid, s)
+    return FusedStepper(A.grid, s, abc, basis, bz, interpret=interpret)

@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..types import SolverParams, Status
+from ..ops import df64 as D
 from . import harness as H
 
 _HI = lax.Precision.HIGHEST
@@ -178,6 +179,7 @@ def ca_cg(
     basis_gram_fn: Optional[Callable] = None,
     recompute_residual: bool = False,
     pallas: str = "auto",
+    coeff: str = "auto",
 ):
     """s-step CG for SPD systems: mathematically classic CG (identical
     iterates in exact arithmetic; stopping metric lcg.cpp:186-209), with s
@@ -190,6 +192,20 @@ def ca_cg(
     order [p-chain | r-chain].  ``monitor`` fires at
     OUTER-step granularity (x is only materialized every s iterations) —
     the stop contract is otherwise that of run_loop.
+
+    ``pallas``: "auto" (default) prefers the STORELESS two-sweep Pallas
+    stepper for supported stencil operators (the basis never touches
+    HBM: a gram-only sweep + a chain-rebuild recover sweep), else the
+    basis-storing powers+Gram kernel, else XLA; "basis" forces the
+    basis-storing kernel (A/B measurement hook); "always" demands a
+    kernel (interpreter on CPU — the test hook); "never" forces XLA.
+
+    ``coeff``: precision of the (2s+1)-dim coefficient recurrences —
+    "wide" (promoted f64; emulated on TPU, ~0.15 ms/iter of sequential
+    tiny-reduction launch tax at 256^3), "df64" (double-float f32 pairs,
+    ops/df64.py — same iteration counts at fused-elementwise cost; f32
+    storage only), "auto" (df64 for f32 storage off-CPU or when x64 is
+    unavailable, else wide).
 
     Stopping semantics match the reference's: convergence is declared on
     the RECURRENCE residual — here the norm of the recovered residual
@@ -220,37 +236,67 @@ def ca_cg(
     n = H.dim(b)
     mdim = 2 * s + 1
     off = s + 1                       # first R-chain coordinate
-    # Coefficient math is O(s^2) scalars — run it wide whenever x64
-    # allows (see _wide_dtype: Gram cancellation is the s-step failure
-    # mode, and the tiny (2s+1)-dim algebra costs nothing even emulated).
+    # Coefficient math must run well beyond storage precision (see
+    # _wide_dtype: Gram cancellation is the s-step failure mode).  Three
+    # modes: "wide" = promoted dtype (f64 — EMULATED on TPU, where every
+    # tiny reduction lowers to its own ~49 us sequential loop, a measured
+    # ~0.15 ms/iter launch tax at 256^3); "df64" = double-float pairs of
+    # f32 (ops/df64.py — ~48-bit mantissa from pure elementwise f32 that
+    # XLA fuses, no x64 requirement); "auto" = df64 for f32 storage
+    # off-CPU (and whenever x64 is off), else wide.
     wide = _wide_dtype(b.dtype, params.reduce_dtype)
+    if coeff not in ("auto", "wide", "df64"):
+        raise ValueError(f"coeff must be auto|wide|df64, got {coeff!r}")
+    if coeff == "df64" and jnp.dtype(b.dtype) != jnp.float32:
+        raise ValueError(
+            "coeff='df64' carries ~48 mantissa bits — a precision "
+            "downgrade for f64 storage; use coeff='wide'"
+        )
+    if coeff == "auto":
+        on_cpu = jax.devices()[0].platform == "cpu"
+        use_df64 = jnp.dtype(b.dtype) == jnp.float32 and (
+            wide is None or not on_cpu
+        )
+    else:
+        use_df64 = coeff == "df64"
     cdt = wide if wide is not None else b.dtype
     Tm = jnp.asarray(_basis_T(s, abc), cdt)
+    Tm_df = D.const(_basis_T(s, abc))      # exact: entries are f64 host values
     eps = params.epsilon
     max_iter = params.effective_max_iterations()
 
+    stepper = None
     if basis_gram_fn is None and pallas != "never":
-        # Fused powers+Gram kernel for supported stencil operators —
-        # ONE HBM sweep builds the whole basis and its moments.  "auto"
-        # falls back to XLA off-accelerator; "always" demands the kernel
-        # (interpreter on CPU backends — the test hook, mirroring
-        # solve(pallas=...)).
-        from ..ops.pallas_powers import make_basis_gram
+        # Pallas routing for supported stencil operators, preferring the
+        # STORELESS two-sweep stepper (gram-only sweep + chain-rebuild
+        # recover sweep — the basis never touches HBM: ~10 vector
+        # streams per s iterations vs ~23 for the basis-storing form)
+        # and falling back to the basis-storing powers+Gram kernel.
+        # "auto" falls back to XLA off-accelerator; "always" demands a
+        # kernel (interpreter on CPU backends — the test hook);
+        # "basis" forces the basis-storing kernel (A/B measurement
+        # hook).
+        from ..ops.pallas_powers import make_basis_gram, make_fused_stepper
 
         on_cpu = jax.devices()[0].platform == "cpu"
+        interp = pallas == "always" and on_cpu
         if pallas == "always" or not on_cpu:
-            basis_gram_fn = make_basis_gram(
-                A, s=s, abc=abc, basis=basis,
-                interpret=pallas == "always" and on_cpu,
-            )
-        if pallas == "always" and basis_gram_fn is None:
+            if pallas != "basis":
+                stepper = make_fused_stepper(
+                    A, s=s, abc=abc, basis=basis, interpret=interp
+                )
+            if stepper is None:
+                basis_gram_fn = make_basis_gram(
+                    A, s=s, abc=abc, basis=basis, interpret=interp,
+                )
+        if pallas == "always" and stepper is None and basis_gram_fn is None:
             raise ValueError(
                 "pallas='always' but the powers kernel does not support "
                 "this operator/grid/s (need Laplacian3DOperator, f32, "
                 "nx % 128 == 0, ny % 8 == 0, 2 <= s <= 6, single-device)"
             )
 
-    if basis_gram_fn is None:
+    if stepper is None and basis_gram_fn is None:
         def basis_gram_fn(A_, p_, r_, x_):
             return xla_basis_gram(A_, p_, r_, x_, s=s, abc=abc,
                                   reduce_dtype=params.reduce_dtype)
@@ -259,7 +305,8 @@ def ca_cg(
     # vector IN that shape: a flat<->3-D reshape at the pallas boundary
     # is a physical relayout copy every outer step (pure-XLA consumers
     # fuse reshapes away; custom calls cannot).
-    vec_shape = getattr(basis_gram_fn, "vec_shape", None)
+    vec_shape = getattr(stepper if stepper is not None else basis_gram_fn,
+                        "vec_shape", None)
     mv = A.mv
     if vec_shape is not None:
         b = b.reshape(vec_shape)
@@ -296,8 +343,10 @@ def ca_cg(
             c["t"] <= max_iter
         ) & (c["stall"] < 2)
 
-    def body_fn(c):
-        parts, G, w, xx = basis_gram_fn(A, c["p"], c["r"], c["x"])
+    def _coeff_wide(G, w, xx, t, res, trace):
+        """The s CG recurrences in (2s+1)-dim coefficient space, promoted
+        dtype.  Returns (stacked [x̂; r̂; p̂] with the floor-restart
+        applied, t, res, trace)."""
         Gc = G.astype(cdt)
         wc = w.astype(cdt)
         xxc = xx.astype(cdt)
@@ -305,9 +354,7 @@ def ca_cg(
         r_hat = jnp.zeros((mdim,), cdt).at[off].set(1.0)
         x_hat = jnp.zeros((mdim,), cdt)
         rr = Gc[off, off]
-        t = c["t"]
-        res = c["residual"].astype(cdt)
-        trace = c["trace"]
+        res = res.astype(cdt)
         floor = jnp.asarray(False)
         # Carried Gram products (exact recurrences): each inner step then
         # needs ONE small matvec (GT @ p_hat) instead of three — the
@@ -376,6 +423,98 @@ def ca_cg(
                                 params.abs_diff),
                 res,
             )
+        # A Gram-floor hit restarts the direction (p := r) — applied in
+        # COEFFICIENT space (p_rec = V p_hat, r_rec = V r_hat: selecting
+        # coefficients yields the identical vector), so the restart
+        # costs a 9-element select instead of a full extra vector pass.
+        p_hat = jnp.where(floor, r_hat, p_hat)
+        return jnp.stack([x_hat, r_hat, p_hat]), t, res, trace
+
+    def _coeff_df64(G, w, xx, t, res, trace):
+        """The same recurrences in double-float (hi, lo) f32 pairs
+        (ops/df64.py): ~48-bit mantissa — above the Gram-cancellation
+        floor that breaks plain f32 (measured: 339 vs 200 iterations at
+        128^3) — from pure elementwise f32 ops that XLA fuses into a
+        handful of kernels, instead of the emulated-f64 path where every
+        tiny reduction is its own ~49 us sequential loop (the measured
+        ~0.15 ms/iter coefficient tax at 256^3).  NaN propagates through
+        the hi words, preserving the NAN_VALUE classification contract.
+        Control flow mirrors _coeff_wide exactly."""
+        Gc = D.from_array(G)
+        wc = D.from_array(w)
+        xxc = D.from_array(xx)
+        e_p = np.zeros(mdim)
+        e_p[0] = 1.0
+        e_r = np.zeros(mdim)
+        e_r[off] = 1.0
+        p_hat = D.const(e_p)
+        r_hat = D.const(e_r)
+        x_hat = D.zeros((mdim,))
+        rr = D.index(Gc, (off, off))
+        floor = jnp.asarray(False)
+        GT = D.matmul(Gc, Tm_df)
+        TG = D.concat([Tm_df, GT], axis=0)   # one matvec -> Tp | GTp
+        Gr = D.index(Gc, (slice(None), off))
+        Gp = D.index(Gc, (slice(None), 0))
+        Gx = D.zeros((mdim,))
+        for _ in range(s):
+            hit_max = (params.max_iterations > 0) & (
+                t + 1 > params.max_iterations
+            )
+            alive = (res > eps) & ~hit_max & (t <= max_iter)
+            if trace is not None:
+                idx = jnp.where(alive, t, jnp.iinfo(jnp.int32).max)
+                trace = H.record_trace(trace, idx, res)
+            y = D.matvec(TG, p_hat)
+            Tp = D.index(y, slice(0, mdim))
+            GTp = D.index(y, slice(mdim, None))
+            denom = D.dot(p_hat, GTp)
+            alpha = D.div(rr, denom)
+            nalpha = D.neg(alpha)
+            x_hat2 = D.axpy(alpha, p_hat, x_hat)
+            r_hat2 = D.axpy(nalpha, Tp, r_hat)
+            Gr2 = D.axpy(nalpha, GTp, Gr)
+            Gx2 = D.axpy(alpha, Gp, Gx)
+            rr2 = D.dot(r_hat2, Gr2)
+            beta = D.div(rr2, rr)
+            p_hat2 = D.axpy(beta, p_hat, r_hat2)
+            Gp2 = D.axpy(beta, Gp, Gr2)
+            # NaN rr2 compares False -> accepted -> propagates into res,
+            # exactly as the wide path's ``rr2 <= 0.0``.
+            bad = D.nonpos(rr2)
+            accept = alive & ~bad
+            floor = floor | (alive & bad)
+            x_hat = D.where(accept, x_hat2, x_hat)
+            r_hat = D.where(accept, r_hat2, r_hat)
+            p_hat = D.where(accept, p_hat2, p_hat)
+            Gr = D.where(accept, Gr2, Gr)
+            Gp = D.where(accept, Gp2, Gp)
+            Gx = D.where(accept, Gx2, Gx)
+            rr = D.where(accept, rr2, rr)
+            t = t + accept.astype(jnp.int32)
+            xd = D.matvec(D.stack([wc, Gx]), x_hat)
+            xn = D.to_array(
+                D.add(D.add(xxc, D.mul_pow2(D.index(xd, 0), 2.0)),
+                      D.index(xd, 1))
+            )
+            res = jnp.where(
+                alive,
+                H.real_residual(D.to_array(rr), jnp.maximum(xn, 1.0), n,
+                                params.abs_diff),
+                res,
+            )
+        p_hat = D.where(floor, r_hat, p_hat)
+        return D.to_array(D.stack([x_hat, r_hat, p_hat])), t, res, trace
+
+    def body_fn(c):
+        if stepper is not None:
+            G, w, xx = stepper.gram(A, c["p"], c["r"], c["x"])
+        else:
+            parts, G, w, xx = basis_gram_fn(A, c["p"], c["r"], c["x"])
+        coeff_block = _coeff_df64 if use_df64 else _coeff_wide
+        C3w, t, res, trace = coeff_block(
+            G, w, xx, c["t"], c["residual"], c["trace"]
+        )
         # One recovery pass over the basis for all three vectors, as an
         # UNROLLED scalar-FMA chain (XLA fuses it into a single sweep
         # reading each basis row once).  NOT a dot_general: an f32
@@ -390,36 +529,43 @@ def ca_cg(
         # tried and measured WORSE — the pallas operand and the floor
         # select then materialize slice/bitcast and select passes, 2.12
         # vs 1.67 ms/iter — so the stack exists only inside this sweep.)
-        # A Gram-floor hit restarts the direction (p := r) — applied in
-        # COEFFICIENT space (p_rec = V p_hat, r_rec = V r_hat: selecting
-        # coefficients yields the identical vector), so the restart
-        # costs a 9-element select instead of a full extra vector pass.
-        p_hat = jnp.where(floor, r_hat, p_hat)
-        vdt = parts[0].dtype
-        nd1 = parts[0].ndim - 1
-        C3 = jnp.stack([x_hat, r_hat, p_hat]).astype(vdt)   # (3, mdim)
-        out3 = None
-        k0 = 0
-        for part in parts:
-            for j in range(part.shape[0]):
-                v = part[j][None]
-                coef = C3[:, k0].reshape((3,) + (1,) * nd1)
-                term = coef * v
-                out3 = term if out3 is None else out3 + term
-                k0 += 1
-        dx, r_rec, p_rec_acc = out3[0], out3[1], out3[2]
-        x_new = c["x"] + dx
-        # The authoritative block-end residual is the NORM OF THE
-        # RECOVERED RESIDUAL VECTOR — exactly the quantity classic CG's
-        # stopping test uses (the recurrence residual, lcg.cpp:208-209),
-        # and immune to the coefficient quadratic form's cancellation
-        # (which can even turn negative at the Gram floor).  XLA fuses
-        # these norms into the recovery pass: no extra HBM sweep.  The
-        # in-block coefficient estimates only drive freezing/counting; a
-        # block that froze early on an optimistic estimate is simply
-        # resumed by the outer loop.
-        rr_out = H.sq_norm(r_rec)
-        m_mod = jnp.maximum(H.sq_norm(x_new), 1.0)
+        if stepper is not None:
+            # Storeless path: sweep 2 rebuilds the chains and emits
+            # x/r/p plus the block-end norms — the basis never existed
+            # in HBM.  (The acc dtype is the kernel's f32; cast to the
+            # carry's accumulation dtype.)
+            x_new, r_rec, p_rec_acc, rr_k, mx_k = stepper.recover(
+                C3w.astype(b.dtype), c["p"], c["r"], c["x"]
+            )
+            rr_out = rr_k.astype(c["rr"].dtype)
+            m_mod = jnp.maximum(mx_k.astype(c["m_mod"].dtype), 1.0)
+        else:
+            vdt = parts[0].dtype
+            nd1 = parts[0].ndim - 1
+            C3 = C3w.astype(vdt)  # (3, mdim): [x̂; r̂; p̂], floor-restarted
+            out3 = None
+            k0 = 0
+            for part in parts:
+                for j in range(part.shape[0]):
+                    v = part[j][None]
+                    coef = C3[:, k0].reshape((3,) + (1,) * nd1)
+                    term = coef * v
+                    out3 = term if out3 is None else out3 + term
+                    k0 += 1
+            dx, r_rec, p_rec_acc = out3[0], out3[1], out3[2]
+            x_new = c["x"] + dx
+            # The authoritative block-end residual is the NORM OF THE
+            # RECOVERED RESIDUAL VECTOR — exactly the quantity classic
+            # CG's stopping test uses (the recurrence residual,
+            # lcg.cpp:208-209), and immune to the coefficient quadratic
+            # form's cancellation (which can even turn negative at the
+            # Gram floor).  XLA fuses these norms into the recovery
+            # pass: no extra HBM sweep.  The in-block coefficient
+            # estimates only drive freezing/counting; a block that froze
+            # early on an optimistic estimate is simply resumed by the
+            # outer loop.
+            rr_out = H.sq_norm(r_rec)
+            m_mod = jnp.maximum(H.sq_norm(x_new), 1.0)
         res_vec = H.real_residual(rr_out, m_mod, n, params.abs_diff)
         res_out = jnp.where(jnp.isnan(res.astype(b.real.dtype)),
                             jnp.asarray(jnp.nan, b.real.dtype), res_vec)

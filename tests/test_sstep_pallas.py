@@ -112,3 +112,107 @@ def test_gating():
     with H.distributed("rows", logical_dim=A.shape[0]):
         assert PP.make_basis_gram(A, s=4, abc=abc,
                                   basis="chebyshev") is None
+
+
+# ---------------------------------------------------------------------------
+# storeless two-sweep stepper (gram-only sweep + chain-rebuild recover)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("s,basis", [(2, "chebyshev"), (4, "chebyshev"),
+                                     (4, "monomial")])
+def test_fused_stepper_gram_parity(s, basis):
+    """Sweep 1 (no basis writes) must produce the same moments as the
+    basis-storing kernel / XLA builder."""
+    A, p, r, x = _setup()
+    abc = basis_recurrence(s, basis, 0.0, 12.0)
+    st = PP.make_fused_stepper(A, s=s, abc=abc, basis=basis, interpret=True)
+    assert st is not None
+    G1, w1, xx1 = st.gram(A, p, r, x)
+    _, G0, w0, xx0 = xla_basis_gram(
+        A, p.reshape(-1), r.reshape(-1), x.reshape(-1), s=s, abc=abc)
+    sG = float(jnp.max(jnp.abs(G0)))
+    assert float(jnp.max(jnp.abs(G1 - G0.astype(G1.dtype)))) < 3e-5 * sG
+    assert float(jnp.max(jnp.abs(w1 - w0.astype(w1.dtype)))) < 3e-5 * sG
+    np.testing.assert_allclose(float(xx1), float(xx0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("grid", [(64, 8, 128), (128, 8, 128)])
+def test_fused_stepper_recover_parity(grid):
+    """Sweep 2 rebuilds the chains and accumulates x/r/p: must equal the
+    explicit linear combination of the XLA basis (multi-block grids
+    exercise the ghost-plane masking on the rebuilt chains)."""
+    A, p, r, x = _setup(grid=grid, seed=11)
+    s = 4
+    mdim = 2 * s + 1
+    abc = basis_recurrence(s, "chebyshev", 0.0, 12.0)
+    st = PP.make_fused_stepper(A, s=s, abc=abc, basis="chebyshev",
+                               interpret=True)
+    rng = np.random.default_rng(13)
+    C3 = jnp.asarray(rng.standard_normal((3, mdim)), jnp.float32)
+    xn, rn, pn, rr, mx = st.recover(C3, p, r, x)
+    P0, _, _, _ = xla_basis_gram(
+        A, p.reshape(-1), r.reshape(-1), x.reshape(-1), s=s, abc=abc)
+    V0 = jnp.concatenate(P0, axis=0)          # (mdim, n)
+    ref = jnp.asarray(C3) @ V0                # (3, n)
+    scale = float(jnp.max(jnp.abs(V0)))
+    assert float(jnp.max(jnp.abs(xn.reshape(-1) - (x.reshape(-1) + ref[0])))
+                 ) < 5e-5 * scale
+    assert float(jnp.max(jnp.abs(rn.reshape(-1) - ref[1]))) < 5e-5 * scale
+    assert float(jnp.max(jnp.abs(pn.reshape(-1) - ref[2]))) < 5e-5 * scale
+    np.testing.assert_allclose(
+        float(rr), float(jnp.sum(rn.astype(jnp.float64) ** 2)), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(mx), float(jnp.sum(xn.astype(jnp.float64) ** 2)), rtol=1e-4)
+
+
+def test_ca_cg_storeless_matches_xla_path():
+    """End-to-end: pallas='always' on CPU routes the interpreted
+    storeless stepper; iterations and answer must match the XLA path."""
+    A, _, _, _ = _setup()
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    params = lcg.SolverParams(epsilon=1e-10)
+    out_k = ca_cg(A, b, s=4, basis="chebyshev", lmin=0.0, lmax=12.0,
+                  params=params, pallas="always")
+    out_x = ca_cg(A, b, s=4, basis="chebyshev", lmin=0.0, lmax=12.0,
+                  params=params, pallas="never")
+    assert int(out_k["status"]) == int(Status.CONVERGENCE)
+    assert abs(int(out_k["t"]) - int(out_x["t"])) <= 1
+    rel = jnp.linalg.norm(b - A.mv(out_k["x"])) / jnp.linalg.norm(b)
+    assert float(rel) < 2e-5
+
+
+def test_ca_cg_storeless_df64_coeff():
+    """Storeless stepper + df64 coefficients — the full TPU-production
+    configuration — on the CPU interpreter."""
+    A, _, _, _ = _setup()
+    n = A.shape[0]
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    params = lcg.SolverParams(epsilon=1e-10)
+    out_k = ca_cg(A, b, s=4, basis="chebyshev", lmin=0.0, lmax=12.0,
+                  params=params, pallas="always", coeff="df64")
+    out_x = ca_cg(A, b, s=4, basis="chebyshev", lmin=0.0, lmax=12.0,
+                  params=params, pallas="never", coeff="wide")
+    assert int(out_k["status"]) == int(Status.CONVERGENCE)
+    assert abs(int(out_k["t"]) - int(out_x["t"])) <= 1
+    rel = jnp.linalg.norm(b - A.mv(out_k["x"])) / jnp.linalg.norm(b)
+    assert float(rel) < 2e-5
+
+
+def test_fused_stepper_gating():
+    abc = basis_recurrence(4, "chebyshev", 0.0, 12.0)
+    A = lcg.Laplacian3DOperator(16, 16, 16, dtype=jnp.float32)
+    assert PP.make_fused_stepper(A, s=4, abc=abc, basis="chebyshev") is None
+    A = lcg.Laplacian3DOperator(16, 8, 128, dtype=jnp.float64)
+    assert PP.make_fused_stepper(A, s=4, abc=abc, basis="chebyshev") is None
+    D = lcg.DenseOperator(jnp.eye(64, dtype=jnp.float32))
+    assert PP.make_fused_stepper(D, s=4, abc=abc, basis="chebyshev") is None
+    from liblcg_tpu.solvers import harness as H
+
+    A = lcg.Laplacian3DOperator(16, 8, 128, dtype=jnp.float32)
+    with H.distributed("rows", logical_dim=A.shape[0]):
+        assert PP.make_fused_stepper(A, s=4, abc=abc,
+                                     basis="chebyshev") is None
