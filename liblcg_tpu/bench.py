@@ -618,14 +618,18 @@ def bench_complex1k():
 
 def bench_sstep():
     """s-step CA-CG at the HBM-regime scale (PERFORMANCE.md "s-step CG"):
-    fixed-96-iteration device slope at 256^3 f32 through the fused
-    Pallas powers+Gram kernel.  The single-chip decision number — classic
-    CG's lap256 field is the comparator; cacg's actual win (2 psum rounds
-    per s iterations vs 2 per iteration) is HLO-asserted in
+    fixed-96-iteration device slope at 256^3 f32 through the shipped
+    auto route — the STORELESS two-sweep stepper (gram-only sweep +
+    chain-rebuild recover sweep, the basis never in HBM) with df64
+    coefficient algebra: the first s-step variant measured FASTER than
+    the fused classic loop single-chip (1.482 vs 1.516 ms/iter,
+    profiling/probe_r3_storeless.json).  Classic CG's lap256 field is
+    the comparator; cacg's structural win (2 psum rounds per s
+    iterations vs 2 per iteration) is HLO-asserted in
     tests/test_sstep.py and matters on multi-chip meshes."""
     import liblcg_tpu as lcg
     from liblcg_tpu.ops import pallas_powers as PP
-    from liblcg_tpu.solvers.sstep import basis_recurrence, ca_cg
+    from liblcg_tpu.solvers.sstep import ca_cg
 
     if jax.devices()[0].platform == "cpu":
         return None
@@ -633,25 +637,26 @@ def bench_sstep():
     A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float32)
     b = jnp.ones((g ** 3,), jnp.float32)
     pfix = lcg.SolverParams(epsilon=1e-30, max_iterations=iters)
-    abc = basis_recurrence(s, "chebyshev", 0.0, 12.0)
-    fn = PP.make_basis_gram(A, s=s, abc=abc, basis="chebyshev")
-    if fn is None:
+    if not (PP.supported_fused(A.grid, A.dtype, s)
+            or PP.supported(A.grid, A.dtype, s)):
         return None
+    route = ("storeless" if PP.supported_fused(A.grid, A.dtype, s)
+             else "basis")
 
     def one(b):
         return ca_cg(A, b, s=s, basis="chebyshev", lmin=0.0, lmax=12.0,
-                     params=pfix, basis_gram_fn=fn)["x"]
+                     params=pfix, pallas="auto")["x"]
 
     # The achieved iteration count, not the nominal one: ca_cg's
     # Gram-floor stall guard may exit early at eps=1e-30, and dividing
     # the slope by a fixed 96 would silently deflate ms_per_iter.
     done = ca_cg(A, b, s=s, basis="chebyshev", lmin=0.0, lmax=12.0,
-                 params=pfix, basis_gram_fn=fn)
+                 params=pfix, pallas="auto")
     t_done = max(int(done["t"]), 1)
 
     dev, wall = _slope(one, b, K=3)
     out = {"wall_ms": wall * 1e3, "s": s, "iters": t_done,
-           "ran_full_budget": t_done == iters}
+           "route": route, "ran_full_budget": t_done == iters}
     if dev is not None:
         out["ms_per_iter"] = dev * 1e3 / t_done
     return out

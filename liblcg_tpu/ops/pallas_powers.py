@@ -88,15 +88,19 @@ def supported(grid: Tuple[int, int, int], dtype, s: int) -> bool:
 def _vmem_estimate_fused(bz: int, ny: int, nx: int, s: int) -> int:
     """Scoped-VMEM model for the larger of the two storeless sweeps (the
     recover sweep): double-buffered inputs + halos, double-buffered
-    x/r/p outputs, 3 live chain buffers, and the 3 stacked accumulator
-    blocks.  The gram-only sweep is strictly smaller (no block outputs,
-    no accumulators)."""
+    x/r/p outputs, and the kernel's internal liveness.  The work term is
+    CALIBRATED against a chip measurement, not derived: at 256^2 planes,
+    s=4, bz=16 Mosaic allocated 130.67 MB of scoped VMEM (compile error,
+    profiling/probe_r3_storeless.py) where the naive 3-chain-buffer model
+    predicted 85 MB — the padded stencil copies, the per-level extended
+    chains and the three recovery accumulators all coexist, ~11 extended
+    blocks of liveness rather than 3.  The gram-only sweep is strictly
+    smaller (no block outputs, no accumulators)."""
     plane = ny * nx * 4
     ins = 2 * (3 * bz + 2 * (s + max(s - 1, 1))) * plane
     outs = 2 * 3 * bz * plane
-    work = 3 * (bz + 2 * s) * plane
-    accs = 3 * bz * plane
-    return ins + outs + work + accs
+    work = 11 * (bz + 2 * s) * plane
+    return ins + outs + work
 
 
 def _pick_bz_fused(nz: int, ny: int, nx: int, s: int) -> int:

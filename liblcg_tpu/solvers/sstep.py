@@ -24,14 +24,18 @@ advances s CG iterations per outer step:
    (A V c = V T c), zero vector-length work.
 4. Recover x, r, p with one pass over V.
 
-The basis+Gram stage is pluggable (``basis_gram_fn``); a fused Pallas
-kernel (ops/pallas_powers.py) produces V *and* G in a single HBM sweep
-for stencil operators.  Honest single-chip verdict (chip-measured,
-profiling/probe_r3_sstep.json): 1.72 ms/iter vs classic fused CG's 1.52
-at 256^3 f32 — the classic loop stays ahead on one chip; cacg's real win
-is the collective economy above (2 psum rounds per s iterations vs
-classic CG's 2 per iteration), plus exact
-f64 iteration parity and +2% f32 iterations at 128^3.
+The basis+Gram stage is pluggable (``basis_gram_fn``); for stencil
+operators two Pallas forms exist (ops/pallas_powers.py): a basis-storing
+powers+Gram kernel (V and G in one HBM sweep) and the default STORELESS
+two-sweep stepper (gram-only sweep + chain-rebuild recover sweep — the
+basis never touches HBM).  Single-chip verdict (chip-measured,
+profiling/probe_r3_storeless.json): storeless s=4 with df64 coefficient
+algebra runs **1.482 ms/iter vs classic fused CG's 1.516** at 256^3 f32
+— the first variant to beat the channel-saturated classic loop on one
+chip (basis-storing: 1.540; s=6 loses both ways — chain recompute grows
+with s).  cacg's structural win remains the collective economy above
+(2 psum rounds per s iterations vs classic CG's 2 per iteration), plus
+exact f64 iteration parity and +2% f32 iterations at 128^3.
 
 Numerics: in exact arithmetic the iterates equal classic CG's.  In finite
 precision the monomial basis conditions like kappa(A)^s — use the default

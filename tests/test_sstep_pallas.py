@@ -216,3 +216,18 @@ def test_fused_stepper_gating():
     with H.distributed("rows", logical_dim=A.shape[0]):
         assert PP.make_fused_stepper(A, s=4, abc=abc,
                                      basis="chebyshev") is None
+
+
+def test_fused_vmem_model_calibration():
+    """The recover sweep's scoped-VMEM model is calibrated against a chip
+    measurement: at 256^2 planes, s=4, bz=16 Mosaic allocated 130.67 MB
+    (compile OOM at the 128 MB ceiling, profiling/probe_r3_storeless.py)
+    where the naive 3-buffer model said 85 MB.  The pick must be bz=8 at
+    256^3 and the model must reject bz=16 there; 128^3 stays at bz=32
+    (chip-validated)."""
+    assert PP._pick_bz_fused(256, 256, 256, 4) == 8
+    assert PP._vmem_estimate_fused(16, 256, 256, 4) > PP._VMEM_BUDGET
+    assert PP._pick_bz_fused(128, 128, 128, 4) == 32
+    # the 512^3 plane (1 MB) cannot fit any bz -> storeless unsupported,
+    # auto route falls back (basis-storing kernel or XLA), never errors
+    assert not PP.supported_fused((512, 512, 512), jnp.float32, 4)
