@@ -50,6 +50,7 @@ from .operators import (
     NormalEqOperator,
     ProductOperator,
     ScaledOperator,
+    SymScaledOperator,
     RealifiedOperator,
     SparseOperator,
     SumOperator,
@@ -124,6 +125,7 @@ __all__ = [
     "MatrixFreeOperator",
     "NormalEqOperator",
     "ScaledOperator",
+    "SymScaledOperator",
     "SumOperator",
     "ProductOperator",
     "aslinearoperator",

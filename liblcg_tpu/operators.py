@@ -567,6 +567,72 @@ def _scaled_unflatten(_, children):
 register_pytree_node(ScaledOperator, _scaled_flatten, _scaled_unflatten)
 
 
+class SymScaledOperator(LinearOperator):
+    """Symmetric diagonal scaling ``S A S`` with ``S = diag(s)``.
+
+    The change of variables behind diagonally preconditioned Krylov
+    methods: PCG on ``(A, M=D)`` is CG on ``D^{-1/2} A D^{-1/2}`` (with
+    ``x = S x̂``, ``b̂ = S b``) — how ``solve(method="cacg", M=Jacobi)``
+    composes Jacobi preconditioning with the s-step engine without a
+    preconditioned recurrence.  Two fused elementwise multiplies per
+    product; symmetry (and bandedness, sparsity, ...) of the inner
+    operator is preserved by construction.
+    """
+
+    def __init__(self, s, inner: LinearOperator):
+        self.s = jnp.asarray(s)
+        self.inner = inner
+        self.shape = inner.shape
+        self.dtype = jnp.promote_types(self.s.dtype, inner.dtype)
+
+    def mv(self, x):
+        return self.s * self.inner.mv(self.s * x)
+
+    def rmv(self, x):
+        return self.s * self.inner.rmv(self.s * x)
+
+    def cmv(self, x):
+        sc = jnp.conj(self.s)
+        return sc * self.inner.cmv(sc * x)
+
+    def hmv(self, x):
+        sc = jnp.conj(self.s)
+        return sc * self.inner.hmv(sc * x)
+
+    def diagonal(self):
+        return self.s * self.inner.diagonal() * self.s
+
+    def astype(self, dtype):
+        dt = jnp.dtype(dtype)
+        if (jnp.issubdtype(self.s.dtype, jnp.complexfloating)
+                and not jnp.issubdtype(dt, jnp.complexfloating)):
+            raise ValueError(
+                "cannot cast a complex-scaled operator to a real dtype"
+            )
+        return SymScaledOperator(self.s.astype(dtype),
+                                 self.inner.astype(dtype))
+
+
+def _symscaled_flatten(op):
+    return (op.s, op.inner), None
+
+
+def _symscaled_unflatten(_, children):
+    obj = object.__new__(SymScaledOperator)
+    obj.s, obj.inner = children
+    try:
+        obj.shape = obj.inner.shape
+        obj.dtype = jnp.promote_types(obj.s.dtype, obj.inner.dtype)
+    except (AttributeError, TypeError):
+        obj.shape = None
+        obj.dtype = None
+    return obj
+
+
+register_pytree_node(SymScaledOperator, _symscaled_flatten,
+                     _symscaled_unflatten)
+
+
 class SumOperator(LinearOperator):
     """A + B."""
 

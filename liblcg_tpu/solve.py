@@ -349,6 +349,67 @@ def _error_result(x, status: Status) -> SolveResult:
     )
 
 
+def _solve_cacg_jacobi(A, b, x0, *, M, params, monitor, trace_len,
+                       lmin, lmax, s, check, pallas):
+    """Jacobi-preconditioned s-step CG, by change of variables.
+
+    PCG with ``M = D`` is exactly CG on the symmetrically scaled system
+    ``(D^{-1/2} A D^{-1/2}) x̂ = D^{-1/2} b`` with ``x = D^{-1/2} x̂`` —
+    the identity the reference's own Jacobi samples rely on (sample1's
+    ``p = 1/diag``, sample1.cpp:98-107; CUDA diag-extract + elementwise
+    divide, sample10.cu:193).  This composes Jacobi preconditioning
+    with the s-step engine WITHOUT a preconditioned recurrence: the
+    scaled operator stays symmetric (and banded/sparse), so the whole
+    cacg machinery — Chebyshev basis, fused Gram, coefficient algebra,
+    2-reduction-rounds-per-s-iterations economy — applies unchanged.
+
+    Semantics notes: the stopping metric is evaluated on the SCALED
+    residual ``D^{-1/2}(b - A x)`` (the M⁻¹-weighted norm classic PCG
+    implicitly tracks via zᵀr), so iteration counts track
+    ``method="pcg"`` closely but not bit-exactly (the reference lpcg
+    stops on the unscaled ‖r‖², lcg.cpp:293-434).  A non-positive
+    diagonal produces NaN in the scaling and exits with
+    Status.NAN_VALUE (SPD systems have positive diagonals).  Spectral
+    bounds default to a 20-step power iteration on the scaled operator
+    (Gershgorin circles of S A S are not derivable from A's), so pass
+    lmin/lmax to skip that one-time estimate when known.
+    """
+    from .operators import SymScaledOperator
+    from .precond.jacobi import JacobiPreconditioner
+
+    if not isinstance(M, JacobiPreconditioner):
+        raise ValueError(
+            "method 'cacg' supports diagonal (Jacobi) preconditioning "
+            "only — it solves the symmetrically scaled system, which "
+            "requires M^{-1} to be a diagonal; got "
+            f"{type(M).__name__}.  Use method='pcg' for general M."
+        )
+    s_vec = jnp.sqrt(M.inv_diag.astype(b.dtype))
+    A_s = SymScaledOperator(s_vec, A)
+    b_s = s_vec * b
+    x0_s = None if x0 is None else jnp.asarray(x0, b.dtype) / s_vec
+    if lmax is None:
+        from .ops.spectra import power_bound
+
+        lmax = power_bound(A_s)
+    mon = None
+    if monitor is not None:
+        # The user's monitor sees the PHYSICAL iterate x = S x̂.
+        mon = lambda xh, r, t: monitor(s_vec * xh, r, t)  # noqa: E731
+    inner = solve(
+        A_s, b_s, x0_s, method="cacg", params=params, monitor=mon,
+        trace_len=trace_len, lmin=0.0 if lmin is None else lmin,
+        lmax=lmax, s=s, check=check, pallas=pallas,
+    )
+    return SolveResult(
+        x=s_vec * inner.x,
+        status_code=inner.status_code,
+        iterations=inner.iterations,
+        residual=inner.residual,
+        trace=inner.trace,
+    )
+
+
 def solve(
     A: Union[LinearOperator, jnp.ndarray, Callable],
     b,
@@ -385,7 +446,9 @@ def solve(
         ``b`` (or the operator dtype) picks the domain for the ambiguous
         names ("cgs", "bicgstab", "pcg").
     params : SolverParams — static under jit.
-    M : preconditioner (operator or callable applying M^{-1}) for pcg/pbicg.
+    M : preconditioner (operator or callable applying M^{-1}) for pcg/pbicg;
+        ``method="cacg"`` accepts a :class:`JacobiPreconditioner` (solved
+        as CG on the symmetrically scaled system, see _solve_cacg_jacobi).
     lower, upper : box bounds for pg/spg.
     lower_inclusive, upper_inclusive : False selects ``lcg_set2box``'s
         exclusive-bound projection (clamp just inside the bound,
@@ -420,6 +483,12 @@ def solve(
     is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
+    if m == "cacg" and M is not None:
+        return _solve_cacg_jacobi(
+            A, b, x0, M=M, params=params, monitor=monitor,
+            trace_len=trace_len, lmin=lmin, lmax=lmax, s=s, check=check,
+            pallas=pallas,
+        )
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
                                                 lmin=lmin, lmax=lmax,
                                                 restart=restart, s=s,
