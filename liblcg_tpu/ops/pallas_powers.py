@@ -32,9 +32,13 @@ as the intrinsic finite-precision floor of any s-step method; ca_cg's
 block-boundary residual replacement bounds the accumulation either way
 (convergence parity is asserted by tests/test_sstep_pallas.py).
 
-f32 only (Mosaic has no f64); the Laplacian stencil matches
+f32 only (Mosaic has no f64); the stencil algebra matches
 ``parallel/stencil.py`` exactly (Dirichlet x/y via zero padding, z via
-zeroed halo planes).
+zeroed halo planes).  Beyond the fixed 7-point Laplacian, any
+``Stencil3DOperator`` with interior-constant coefficients (shifted /
+anisotropic Laplacians — Helmholtz-like ``c0 = 6 + sigma``, graded-mesh
+``cx != cy != cz``) routes through the same kernels with its 7 scalars
+closed over at trace time (``_const_stencil_coeffs``).
 """
 
 from __future__ import annotations
@@ -180,24 +184,51 @@ def _gram_assembler(s: int, basis: str):
 # ---------------------------------------------------------------------------
 
 
-def _stencil_ext(u):
-    """7-point Laplacian on the z-interior of an extended block
-    (E, ny, nx) -> (E-2, ny, nx); x/y Dirichlet via zero padding (same
-    algebra as parallel/stencil.py:_stencil_interior)."""
+#: The 7-point Laplacian's scalar coefficients (c0, cxm, cxp, cym, cyp,
+#: czm, czp) — the historical hardcoded case of :func:`_stencil_ext`.
+_LAPLACIAN_CO = (6.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+
+
+def _const_stencil_coeffs(A):
+    """Scalar 7-point coefficients for a supported operator, else None.
+
+    ``Laplacian3DOperator`` -> the fixed (6, -1, ...) stencil;
+    ``Stencil3DOperator`` -> its ``const_coeffs`` (detected host-side at
+    construction: every coefficient constant over the interior — the
+    shifted/anisotropic-Laplacian class, e.g. Helmholtz-like c0 = 6+sigma
+    or graded-mesh cx != cy != cz).  Variable-coefficient stencils return
+    None (the XLA basis path handles them)."""
+    from ..parallel.stencil import Laplacian3DOperator, Stencil3DOperator
+
+    if isinstance(A, Laplacian3DOperator):
+        return _LAPLACIAN_CO
+    if isinstance(A, Stencil3DOperator):
+        co = getattr(A, "const_coeffs", None)
+        if co is not None and all(isinstance(c, float) for c in co):
+            return co
+    return None
+
+
+def _stencil_ext(u, co):
+    """Constant-coefficient 7-point product on the z-interior of an
+    extended block (E, ny, nx) -> (E-2, ny, nx); x/y Dirichlet via zero
+    padding (same algebra as parallel/stencil.py:_stencil_interior /
+    _variable_stencil with scalar coefficients)."""
+    c0, cxm, cxp, cym, cyp, czm, czp = co
     core = u[1:-1]
     p = jnp.pad(core, ((0, 0), (1, 1), (1, 1)))
     return (
-        6.0 * core
-        - u[:-2]
-        - u[2:]
-        - p[:, :-2, 1:-1]
-        - p[:, 2:, 1:-1]
-        - p[:, 1:-1, :-2]
-        - p[:, 1:-1, 2:]
+        c0 * core
+        + czm * u[:-2]
+        + czp * u[2:]
+        + cym * p[:, :-2, 1:-1]
+        + cyp * p[:, 2:, 1:-1]
+        + cxm * p[:, 1:-1, :-2]
+        + cxp * p[:, 1:-1, 2:]
     )
 
 
-def _make_kernel(s: int, bz: int, nz: int, abc, write_v: bool = True):
+def _make_kernel(s: int, bz: int, nz: int, abc, co, write_v: bool = True):
     """Kernel body closure.  Chain levels live in VMEM only; cores are
     written to the V outputs; the 8s+2 moment dots accumulate in SMEM.
 
@@ -248,7 +279,7 @@ def _make_kernel(s: int, bz: int, nz: int, abc, write_v: bool = True):
             acc_ref[w_base] += jnp.sum(cores[0] * x_blk)
             prev, cur = None, v0_ext
             for j in range(n_levels):
-                nxt = _stencil_ext(cur) - a[j] * cur[1:-1]
+                nxt = _stencil_ext(cur, co) - a[j] * cur[1:-1]
                 if j >= 1 and c[j] != 0.0:
                     nxt = nxt - c[j] * prev[2:-2]
                 if b[j] != 1.0:
@@ -294,7 +325,7 @@ def _make_kernel(s: int, bz: int, nz: int, abc, write_v: bool = True):
     return kernel, n_acc
 
 
-def _make_recover_kernel(s: int, bz: int, nz: int, abc):
+def _make_recover_kernel(s: int, bz: int, nz: int, abc, co):
     """The second storeless sweep: REBUILD both chains (bit-identical
     arithmetic to the gram sweep — same ops, same order) and accumulate
     the three recovery combinations directly,
@@ -332,7 +363,7 @@ def _make_recover_kernel(s: int, bz: int, nz: int, abc):
             contribute(cores0, k_base)
             prev, cur = None, v0_ext
             for j in range(n_levels):
-                nxt = _stencil_ext(cur) - a[j] * cur[1:-1]
+                nxt = _stencil_ext(cur, co) - a[j] * cur[1:-1]
                 if j >= 1 and c[j] != 0.0:
                     nxt = nxt - c[j] * prev[2:-2]
                 if b[j] != 1.0:
@@ -381,7 +412,7 @@ def _halos(a3, nblocks: int, bz: int, depth: int):
     return lo, hi
 
 
-def _powers_raw(p, r, x, *, grid, s, abc, interpret=False):
+def _powers_raw(p, r, x, *, grid, s, abc, co, interpret=False):
     """The pallas_call: (vp, vr, acc) in f32.  Trace under x64-off (the
     gridded index plumbing becomes i64 otherwise, which Mosaic cannot
     legalize); the moment->Gram reconstruction happens OUTSIDE, in the
@@ -403,7 +434,7 @@ def _powers_raw(p, r, x, *, grid, s, abc, interpret=False):
         rlo = jnp.zeros((nblocks, 1, ny, nx), dt)
         rhi = jnp.zeros((nblocks, 1, ny, nx), dt)
 
-    kernel, n_acc = _make_kernel(s, bz, nz, abc)
+    kernel, n_acc = _make_kernel(s, bz, nz, abc, co)
 
     def _i32(v):
         return jnp.asarray(v, jnp.int32)
@@ -506,13 +537,13 @@ def _fused_io(p, r, x, *, grid, s, bz):
     return operands, in_specs, blk, nblocks
 
 
-def _gram_raw(p, r, x, *, grid, s, abc, bz, interpret=False):
+def _gram_raw(p, r, x, *, grid, s, abc, co, bz, interpret=False):
     """Sweep 1 of the storeless stepper: moments only, no basis writes.
     Reads 3 blocks + halos, writes 8s+2 SMEM scalars — ~3.5 streams."""
     nz, ny, nx = grid
     operands, in_specs, _, nblocks = _fused_io(p, r, x, grid=grid, s=s,
                                                bz=bz)
-    kernel, n_acc = _make_kernel(s, bz, nz, abc, write_v=False)
+    kernel, n_acc = _make_kernel(s, bz, nz, abc, co, write_v=False)
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -529,14 +560,14 @@ def _gram_raw(p, r, x, *, grid, s, abc, bz, interpret=False):
     )(*operands)
 
 
-def _recover_raw(C3, p, r, x, *, grid, s, abc, bz, interpret=False):
+def _recover_raw(C3, p, r, x, *, grid, s, abc, co, bz, interpret=False):
     """Sweep 2: rebuild the chains and write x/r/p directly —
     reads 3 blocks + halos, writes 3 blocks (~6.5 streams).  Returns
     (x_new, r_new, p_new, acc2) with acc2 = [‖r_new‖², ‖x_new‖²]."""
     nz, ny, nx = grid
     operands, in_specs, blk, nblocks = _fused_io(p, r, x, grid=grid, s=s,
                                                  bz=bz)
-    kernel = _make_recover_kernel(s, bz, nz, abc)
+    kernel = _make_recover_kernel(s, bz, nz, abc, co)
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -556,13 +587,15 @@ def _recover_raw(C3, p, r, x, *, grid, s, abc, bz, interpret=False):
 
 
 def make_basis_gram(A, *, s: int, abc, basis: str, interpret: bool = False):
-    """``basis_gram_fn`` for :func:`solvers.sstep.ca_cg` over a
-    :class:`parallel.stencil.Laplacian3DOperator` (f32).  Returns None
-    when the kernel does not apply (caller falls back to XLA)."""
-    from ..parallel.stencil import Laplacian3DOperator
+    """``basis_gram_fn`` for :func:`solvers.sstep.ca_cg` over a constant-
+    coefficient 7-point stencil (f32): ``Laplacian3DOperator``, or a
+    ``Stencil3DOperator`` whose coefficients are interior-constant
+    (shifted/anisotropic Laplacians).  Returns None when the kernel does
+    not apply (caller falls back to XLA)."""
     from ..solvers import harness as H
 
-    if not isinstance(A, Laplacian3DOperator):
+    co = _const_stencil_coeffs(A)
+    if co is None:
         return None
     if not supported(A.grid, A.dtype, s):
         return None
@@ -573,7 +606,8 @@ def make_basis_gram(A, *, s: int, abc, basis: str, interpret: bool = False):
     def basis_gram(A_, p_, r_, x_):
         with jax.enable_x64(False):
             vp, vr, acc = _powers_raw(
-                p_, r_, x_, grid=grid, s=s, abc=abc, interpret=interpret,
+                p_, r_, x_, grid=grid, s=s, abc=abc, co=co,
+                interpret=interpret,
             )
         return _assemble(p_, r_, vp, vr, acc, grid=grid, s=s, basis=basis)
 
@@ -594,9 +628,10 @@ class FusedStepper:
     The amortized chain cost is (2·(2s-1)+... )/s ≈ 3.5 stencil
     applications per iteration vs classic CG's 1."""
 
-    def __init__(self, grid, s, abc, basis, bz, interpret=False):
+    def __init__(self, grid, s, abc, basis, bz, co, interpret=False):
         self.vec_shape = grid
-        self._kw = dict(grid=grid, s=s, abc=abc, bz=bz, interpret=interpret)
+        self._kw = dict(grid=grid, s=s, abc=abc, co=co, bz=bz,
+                        interpret=interpret)
         self._s = s
         self._basis = basis
 
@@ -615,18 +650,19 @@ class FusedStepper:
 
 def make_fused_stepper(A, *, s: int, abc, basis: str,
                        interpret: bool = False):
-    """Storeless stepper for :func:`solvers.sstep.ca_cg` over a
-    :class:`parallel.stencil.Laplacian3DOperator` (f32).  Returns None
-    when unsupported (caller falls back to the basis-storing kernel or
-    XLA)."""
-    from ..parallel.stencil import Laplacian3DOperator
+    """Storeless stepper for :func:`solvers.sstep.ca_cg` over a constant-
+    coefficient 7-point stencil (f32): ``Laplacian3DOperator``, or a
+    ``Stencil3DOperator`` whose coefficients are interior-constant.
+    Returns None when unsupported (caller falls back to the
+    basis-storing kernel or XLA)."""
     from ..solvers import harness as H
 
-    if not isinstance(A, Laplacian3DOperator):
+    co = _const_stencil_coeffs(A)
+    if co is None:
         return None
     if not supported_fused(A.grid, A.dtype, s):
         return None
     if H.dist_axis() is not None or H.batch_active():
         return None
     bz = _pick_bz_fused(*A.grid, s)
-    return FusedStepper(A.grid, s, abc, basis, bz, interpret=interpret)
+    return FusedStepper(A.grid, s, abc, basis, bz, co, interpret=interpret)

@@ -296,7 +296,8 @@ def ca_cg(
         if pallas == "always" and stepper is None and basis_gram_fn is None:
             raise ValueError(
                 "pallas='always' but the powers kernel does not support "
-                "this operator/grid/s (need Laplacian3DOperator, f32, "
+                "this operator/grid/s (need Laplacian3DOperator or a "
+                "constant-coefficient Stencil3DOperator, f32, "
                 "nx % 128 == 0, ny % 8 == 0, 2 <= s <= 6, single-device)"
             )
 

@@ -231,3 +231,80 @@ def test_fused_vmem_model_calibration():
     # the 512^3 plane (1 MB) cannot fit any bz -> storeless unsupported,
     # auto route falls back (basis-storing kernel or XLA), never errors
     assert not PP.supported_fused((512, 512, 512), jnp.float32, 4)
+
+
+# ---------------------------------------------------------------------------
+# constant-coefficient general stencils (shifted / anisotropic Laplacians)
+# ---------------------------------------------------------------------------
+
+
+def _shifted_stencil(grid=(64, 8, 128), c0=8.5, cx=-1.0, cy=-0.5, cz=-2.0,
+                     seed=3):
+    """SPD constant-coefficient stencil (diagonally dominant shift)."""
+    nz, ny, nx = grid
+    n = nz * ny * nx
+    ones = np.ones(n, np.float32)
+    A = lcg.Stencil3DOperator(
+        nz, ny, nx, c0 * ones, cx * ones, cx * ones, cy * ones, cy * ones,
+        cz * ones, cz * ones, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal(n), jnp.float32).reshape(grid)
+    return A, mk(), mk(), mk()
+
+
+def test_const_stencil_detection():
+    A, *_ = _shifted_stencil()
+    assert A.const_coeffs == (8.5, -1.0, -1.0, -0.5, -0.5, -2.0, -2.0)
+    assert PP._const_stencil_coeffs(A) == A.const_coeffs
+    # a genuinely variable coefficient disables the scalar kernels
+    nz, ny, nx = A.grid
+    n = nz * ny * nx
+    c0 = np.full(n, 8.5, np.float32)
+    c0[n // 2] = 9.0
+    ones = np.ones(n, np.float32)
+    B = lcg.Stencil3DOperator(nz, ny, nx, c0, -ones, -ones, -ones, -ones,
+                              -ones, -ones, dtype=np.float32)
+    assert B.const_coeffs is None
+    abc = basis_recurrence(4, "chebyshev", 0.0, 17.0)
+    assert PP.make_basis_gram(B, s=4, abc=abc, basis="chebyshev") is None
+    assert PP.make_fused_stepper(B, s=4, abc=abc, basis="chebyshev") is None
+
+
+@pytest.mark.parametrize("s", [2, 4])
+def test_const_stencil_interpret_parity(s):
+    """Basis-storing kernel on a shifted anisotropic stencil must match
+    the XLA builder (which uses A.mv, the variable-coefficient product)."""
+    A, p, r, x = _shifted_stencil()
+    abc = basis_recurrence(s, "chebyshev", 0.0, 17.0)
+    fn = PP.make_basis_gram(A, s=s, abc=abc, basis="chebyshev",
+                            interpret=True)
+    assert fn is not None
+    P1, G1, w1, xx1 = fn(A, p, r, x)
+    V1 = jnp.concatenate(P1, axis=0).reshape(2 * s + 1, -1)
+    P0, G0, w0, xx0 = xla_basis_gram(
+        A, p.reshape(-1), r.reshape(-1), x.reshape(-1), s=s, abc=abc)
+    V0 = jnp.concatenate(P0, axis=0)
+    sV = float(jnp.max(jnp.abs(V0)))
+    sG = float(jnp.max(jnp.abs(G0)))
+    assert float(jnp.max(jnp.abs(V1 - V0))) < 3e-6 * sV
+    assert float(jnp.max(jnp.abs(G1 - G0.astype(G1.dtype)))) < 3e-5 * sG
+
+
+def test_const_stencil_storeless_end_to_end():
+    """ca_cg over a shifted stencil through the storeless stepper
+    (interpret) matches the pure-XLA path iteration-for-iteration."""
+    A, *_ = _shifted_stencil(grid=(16, 8, 128))
+    n = A.shape[0]
+    b = jnp.ones((n,), jnp.float32)
+    pp = lcg.SolverParams(epsilon=1e-10, max_iterations=400)
+    kw = dict(s=4, basis="chebyshev", lmin=0.0, lmax=17.0, params=pp)
+    st = PP.make_fused_stepper(A, s=4,
+                               abc=basis_recurrence(4, "chebyshev", 0.0, 17.0),
+                               basis="chebyshev", interpret=True)
+    assert st is not None
+    r1 = ca_cg(A, b, pallas="always", **kw)
+    r0 = ca_cg(A, b, pallas="never", **kw)
+    assert int(r1["status"]) == int(Status.CONVERGENCE)
+    assert abs(int(r1["t"]) - int(r0["t"])) <= 2
+    np.testing.assert_allclose(np.asarray(r1["x"]), np.asarray(r0["x"]),
+                               rtol=2e-4, atol=2e-4)
