@@ -156,6 +156,17 @@ def solve_sharded(
                                                 lmin=lmin, lmax=lmax,
                                                 restart=restart, s=s)
 
+    if M is not None and not needs_M:
+        # Same guard as solve(): silently ignoring M is a
+        # wrong-experiment class of bug (solve.py:432).
+        raise ValueError(
+            f"method {m!r} does not use a preconditioner under "
+            f"solve_sharded; M would be silently ignored.  Use the "
+            f"preconditioned variant, or pre-scale the operator "
+            f"(operators.SymScaledOperator) for the Jacobi-scaled "
+            f"method='cacg' form."
+        )
+
     err = params.validate(for_method=m)
     if err is not None:
         return SolveResult(

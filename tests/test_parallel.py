@@ -492,3 +492,16 @@ def test_sharded_batched_krylov_extras(banded_system, method):
                         params=lcg.SolverParams(epsilon=1e-16))
     assert np.all(np.asarray(res.status_code) == int(lcg.Status.CONVERGENCE))
     np.testing.assert_allclose(np.asarray(res.x), X, atol=1e-5)
+
+
+def test_sharded_rejects_ignored_M():
+    """solve_sharded must refuse M for non-preconditioned methods (the
+    silent-drop guard solve() gained in round 2, solve.py:432)."""
+    import pytest
+    from liblcg_tpu.parallel import ShardedLaplacian3D, solve_sharded
+
+    A = ShardedLaplacian3D(16, 8, 16, n_devices=8)
+    b = jnp.ones((16 * 8 * 16,), jnp.float32)
+    M = lcg.JacobiPreconditioner(jnp.full((16 * 8 * 16,), 6.0, jnp.float32))
+    with pytest.raises(ValueError, match="silently ignored"):
+        solve_sharded(A, b, method="cg", M=M)
