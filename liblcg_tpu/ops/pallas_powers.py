@@ -93,17 +93,22 @@ def _vmem_estimate_fused(bz: int, ny: int, nx: int, s: int) -> int:
     """Scoped-VMEM model for the larger of the two storeless sweeps (the
     recover sweep): double-buffered inputs + halos, double-buffered
     x/r/p outputs, and the kernel's internal liveness.  The work term is
-    CALIBRATED against a chip measurement, not derived: at 256^2 planes,
-    s=4, bz=16 Mosaic allocated 130.67 MB of scoped VMEM (compile error,
-    profiling/probe_r3_storeless.py) where the naive 3-chain-buffer model
-    predicted 85 MB — the padded stencil copies, the per-level extended
-    chains and the three recovery accumulators all coexist, ~11 extended
-    blocks of liveness rather than 3.  The gram-only sweep is strictly
-    smaller (no block outputs, no accumulators)."""
+    CALIBRATED against chip compiles, not derived.  Anchors (256^2
+    planes, s=4): the accumulator-carrying kernel at bz=16 allocated
+    130.67 MB of scoped VMEM (compile OOM at the 128 MB ceiling —
+    profiling/probe_r3_storeless.py); the shipped IN-PLACE kernel
+    (contributions accumulate straight into the output-ref windows)
+    compiles and runs at bz=16 — 1.249 ms/iter vs 1.393 at bz=8: the
+    halved halo-recompute redundancy is worth 10%.  work=6 extended
+    blocks fits that anchor at 95% of budget (est 91 MB ↔ real
+    ~118 MB, the padded stencil copies and per-level chains); the
+    estimate-to-real ratio ~1.3 keeps any config passing the 96 MB
+    budget under the 128 MB hard ceiling.  The gram-only sweep is
+    strictly smaller (no block outputs)."""
     plane = ny * nx * 4
     ins = 2 * (3 * bz + 2 * (s + max(s - 1, 1))) * plane
     outs = 2 * 3 * bz * plane
-    work = 11 * (bz + 2 * s) * plane
+    work = 6 * (bz + 2 * s) * plane
     return ins + outs + work
 
 
@@ -351,12 +356,22 @@ def _make_recover_kernel(s: int, bz: int, nz: int, abc, co):
             acc_ref[1] = 0.0
 
         x_blk = x_ref[...]
-        out = [None, None, None]          # dx, r_new, p_new accumulators
+        # Accumulate straight into the output-ref VMEM windows: carrying
+        # three separate live accumulator arrays instead measured 130.67
+        # MB of scoped VMEM at bz=16 (compile OOM) — the windows are
+        # allocated either way, so the in-place form shrinks peak
+        # liveness by 3 blocks + their interaction copies.
+        outs = (xout_ref, rout_ref, pout_ref)
+        first = [True]
 
         def contribute(core, k):
-            for row in range(3):
+            for row, ref in enumerate(outs):
                 term = c3_ref[row, k] * core
-                out[row] = term if out[row] is None else out[row] + term
+                if first[0]:
+                    ref[...] = (x_blk + term) if row == 0 else term
+                else:
+                    ref[...] += term
+            first[0] = False
 
         def chain(v0_ext, ghost, n_levels, k_base):
             cores0 = v0_ext[ghost:ghost + bz] if ghost else v0_ext
@@ -389,11 +404,8 @@ def _make_recover_kernel(s: int, bz: int, nz: int, abc, co):
             r_ext = r_ref[...]
         chain(r_ext, sr, sr, s + 1)
 
-        x_new = x_blk + out[0]
-        r_new = out[1]
-        xout_ref[...] = x_new
-        rout_ref[...] = r_new
-        pout_ref[...] = out[2]
+        r_new = rout_ref[...]
+        x_new = xout_ref[...]
         acc_ref[0] += jnp.sum(r_new * r_new)
         acc_ref[1] += jnp.sum(x_new * x_new)
 

@@ -29,11 +29,11 @@ operators two Pallas forms exist (ops/pallas_powers.py): a basis-storing
 powers+Gram kernel (V and G in one HBM sweep) and the default STORELESS
 two-sweep stepper (gram-only sweep + chain-rebuild recover sweep — the
 basis never touches HBM).  Single-chip verdict (chip-measured,
-profiling/probe_r3_storeless.json): storeless s=4 with df64 coefficient
-algebra runs **1.482 ms/iter vs classic fused CG's 1.516** at 256^3 f32
-— the first variant to beat the channel-saturated classic loop on one
-chip (basis-storing: 1.540; s=6 loses both ways — chain recompute grows
-with s).  cacg's structural win remains the collective economy above
+profiling/probe_r3_storeless.json + probe_r3_inplace.json): storeless
+s=4 with df64 coefficient algebra runs **1.249 ms/iter vs classic fused
+CG's 1.516** at 256^3 f32 (1.21x) — the first variant to beat the
+channel-saturated classic loop on one chip (basis-storing: 1.540; s=6
+loses both ways — chain recompute grows with s).  cacg's structural win remains the collective economy above
 (2 psum rounds per s iterations vs classic CG's 2 per iteration), plus
 exact f64 iteration parity and +2% f32 iterations at 128^3.
 

@@ -136,6 +136,28 @@ def main():
           f"iters={int(res.iterations):4d} (classic cg: "
           f"{int(ref.iterations)})  wall={ms:7.1f} ms")
     assert res.converged
+
+    # -- 6: Jacobi-preconditioned cacg on a shifted anisotropic stencil --
+    # The reference's flagship accelerated path is Jacobi/IC PCG
+    # (sample8.cu:216-236, sample10.cu:193); cacg composes with Jacobi
+    # by symmetric diagonal scaling (solve.py:_solve_cacg_jacobi), and
+    # constant-coefficient stencils route through the same storeless
+    # Pallas stepper as the Laplacian (ops/pallas_powers.py).
+    ones = np.ones(g ** 3, np.float32)
+    AS = lcg.Stencil3DOperator(g, g, g, 8.5 * ones, -1.0 * ones,
+                               -1.0 * ones, -0.5 * ones, -0.5 * ones,
+                               -2.0 * ones, -2.0 * ones, dtype=np.float32)
+    MS = lcg.JacobiPreconditioner(AS)
+    t0 = time.perf_counter()
+    res = lcg.solve(AS, bL, method="cacg", s=4, M=MS,
+                    params=lcg.SolverParams(epsilon=1e-10))
+    np.asarray(res.x[:4])
+    ms = (time.perf_counter() - t0) * 1e3
+    tr = float(jnp.linalg.norm(bL - AS.mv(res.x)) / jnp.linalg.norm(bL))
+    print(f"cacg+Jacobi stencil {g}^3    {res.status.name:12s} "
+          f"iters={int(res.iterations):4d} true_rel_res={tr:.2e}  "
+          f"wall={ms:7.1f} ms")
+    assert res.converged and tr < 1e-4
     print("SAMPLE8 OK")
 
 

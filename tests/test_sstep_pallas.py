@@ -219,14 +219,14 @@ def test_fused_stepper_gating():
 
 
 def test_fused_vmem_model_calibration():
-    """The recover sweep's scoped-VMEM model is calibrated against a chip
-    measurement: at 256^2 planes, s=4, bz=16 Mosaic allocated 130.67 MB
-    (compile OOM at the 128 MB ceiling, profiling/probe_r3_storeless.py)
-    where the naive 3-buffer model said 85 MB.  The pick must be bz=8 at
-    256^3 and the model must reject bz=16 there; 128^3 stays at bz=32
-    (chip-validated)."""
-    assert PP._pick_bz_fused(256, 256, 256, 4) == 8
-    assert PP._vmem_estimate_fused(16, 256, 256, 4) > PP._VMEM_BUDGET
+    """The recover sweep's scoped-VMEM model is calibrated against chip
+    compiles of the IN-PLACE kernel (see _vmem_estimate_fused): bz=16 at
+    256^3/s=4 compiles and is 10% faster than bz=8 (1.249 vs 1.393
+    ms/iter) — the pick must be 16 — while bz=32 must stay rejected
+    (the accumulator-carrying ancestor already OOMed at bz=16 with 3
+    fewer live blocks).  128^3 stays at bz=32 (chip-validated)."""
+    assert PP._pick_bz_fused(256, 256, 256, 4) == 16
+    assert PP._vmem_estimate_fused(32, 256, 256, 4) > PP._VMEM_BUDGET
     assert PP._pick_bz_fused(128, 128, 128, 4) == 32
     # the 512^3 plane (1 MB) cannot fit any bz -> storeless unsupported,
     # auto route falls back (basis-storing kernel or XLA), never errors
