@@ -227,6 +227,10 @@ def test_fused_vmem_model_calibration():
     fewer live blocks).  128^3 stays at bz=32 (chip-validated)."""
     assert PP._pick_bz_fused(256, 256, 256, 4) == 16
     assert PP._vmem_estimate_fused(32, 256, 256, 4) > PP._VMEM_BUDGET
+    # s=5 at bz=16 estimated 96.0 MB and compile-OOMed on chip at
+    # 102.05 MB (the 100 MB scoped limit) — the budget must reject it
+    # so the auto route degrades to bz=8 instead of failing to compile.
+    assert PP._pick_bz_fused(256, 256, 256, 5) == 8
     assert PP._pick_bz_fused(128, 128, 128, 4) == 32
     # the 512^3 plane (1 MB) cannot fit any bz -> storeless unsupported,
     # auto route falls back (basis-storing kernel or XLA), never errors
