@@ -205,11 +205,24 @@ def test_weak_scaling_artifact_and_thresholds():
     # Preserve the real-hardware anchor written by the TPU probe
     # (profiling/probe_r3_hw_anchor.py): the virtual-mesh curve is
     # machinery-only; the single-chip nnz/s point ties it to hardware.
+    # A DEGRADED window (bar waived) must not overwrite a quiet-window
+    # sweep either: the artifact's primary curve stays the last one
+    # measured with the bar applied, and the degraded run is recorded
+    # alongside it so history still shows every attempt.
     try:
         with open(ARTIFACT) as f:
             prev = json.load(f)
         if "tpu_single_chip" in prev:
             artifact["tpu_single_chip"] = prev["tpu_single_chip"]
+        if bar is None and prev.get("efficiency_bar_applied") is not None:
+            artifact["last_degraded_run"] = {
+                "sweep_attempts": artifact["sweep_attempts"],
+                "busy_ms": artifact["busy_ms_this_run"],
+                "host_load_at_start": artifact["host_load_at_start"],
+            }
+            for key in ("sweep", "sweep_attempts", "host_load_at_start",
+                        "busy_ms_this_run", "efficiency_bar_applied"):
+                artifact[key] = prev[key]
     except Exception:
         pass
     with open(ARTIFACT, "w") as f:
