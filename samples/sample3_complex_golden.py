@@ -4,6 +4,23 @@ BICG / BICG_SYM / CGS / TFQMR at epsilon=1e-6 abs_diff, max_diff oracle."""
 import _bootstrap  # noqa: F401  (checkout-run import path; no-op when installed)
 
 
+import jax
+
+# Native complex dtypes are a host/CPU capability: accelerator backends
+# without complex support (this rig's TPU plugin raises UNIMPLEMENTED)
+# cannot run them, so this golden-data parity demo pins the CPU backend
+# up front (env-var selection can be preempted by a sitecustomize that
+# already imported jax, hence jax.config).  On-chip complex solves go
+# through the realified 2x2-block form instead — see PARITY.md's
+# decision tree and the bench complex/complex1k workloads.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass  # backend already initialized (e.g. imported from a larger app)
+# The reference is double precision (c128); without x64 the system loads
+# as c64 and the ill-conditioned case_1K stalls short of the 1e-6 bar.
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 import jax.numpy as jnp
 
