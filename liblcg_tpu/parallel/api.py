@@ -71,7 +71,7 @@ def _carry_specs(fn, A_struct_op, b_dtype, n_local, axis, kwargs, nrhs=None):
 
     def run(b):
         if batched:
-            with H.batched():
+            with H.batched(nrhs=nrhs):
                 return fn(A_struct_op, b, b, **kwargs)
         return fn(A_struct_op, b, b, **kwargs)
 
@@ -140,8 +140,6 @@ def solve_sharded(
                 f"method {m!r} does not support batched solves; available: "
                 f"{sorted(BATCHED_METHODS)}"
             )
-        if trace_len > 0:
-            raise ValueError("trace_len > 0 is not supported for batched solves")
     is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
@@ -254,8 +252,6 @@ def solve_sharded(
         batched = nrhs is not None
         A_use = _VmappedOperator(A_l) if batched else A_l
         kwargs = dict(solver_kwargs)
-        if batched:
-            kwargs.pop("trace_len", None)
         i = 0
         if needs_M:
             if M_is_callable:
@@ -280,7 +276,7 @@ def solve_sharded(
             for c in ctx:
                 stack.enter_context(c)
             if batched:
-                stack.enter_context(H.batched())
+                stack.enter_context(H.batched(nrhs=nrhs))
             return fn(A_use, b_l, x0_l, **kwargs)
 
     mapped = jax.shard_map(

@@ -741,6 +741,7 @@ def solve_batched(
     lower=None,
     upper=None,
     monitor: Optional[Callable] = None,
+    trace_len: int = 0,
     key=None,
     lmin=None,
     lmax=None,
@@ -756,8 +757,11 @@ def solve_batched(
     all dot products along the row axis, so on TPU the marginal cost of
     additional right-hand sides is tiny (the iteration's serialized-region
     count is unchanged).  Systems that converge early are frozen; the loop
-    runs until all exit.  The reference has no multi-RHS capability
-    (solves are strictly one ``B`` at a time, lcg.h:61).
+    runs until all exit.  ``trace_len > 0`` records per-system residual
+    rows: ``result.trace`` is (nrhs, trace_len) — the reference's
+    per-iteration progress contract (lcg.h:53-54) per right-hand side.
+    The reference has no multi-RHS capability (solves are strictly one
+    ``B`` at a time, lcg.h:61).
     """
     from .solvers import harness as H
 
@@ -782,6 +786,12 @@ def solve_batched(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
     if m in _BLOCK_METHODS:
+        if trace_len > 0:
+            raise ValueError(
+                "trace_len > 0 is not supported for block solves (the "
+                "shared-Krylov engine tracks one stack-wide residual); use "
+                "the vmapped methods (e.g. method='cg') for per-system traces"
+            )
         return _solve_block(A, B, X0, m, params=params, M=M, monitor=monitor,
                             is_complex=is_complex, check=check)
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
@@ -819,10 +829,19 @@ def solve_batched(
     # (profiling/probe_r3_kernels.json round-3 refresh).
     route = m in ("cg", "pcg", "cgs")
     if pallas != "never" and route and not is_complex:
-        result = _try_pallas_cg_batched(A, B, X0_arr, params, monitor,
-                                        required=pallas == "always",
-                                        M=M if m == "pcg" else None,
-                                        method=m)
+        if trace_len > 0:
+            if pallas == "always":
+                raise ValueError(
+                    "pallas='always' but the batched VMEM kernels do not "
+                    "support trace recording; use pallas='never' or "
+                    "trace_len=0"
+                )
+            result = None
+        else:
+            result = _try_pallas_cg_batched(A, B, X0_arr, params, monitor,
+                                            required=pallas == "always",
+                                            M=M if m == "pcg" else None,
+                                            method=m)
         if result is not None:
             if check:
                 from .utils.errors import check_status
@@ -834,13 +853,15 @@ def solve_batched(
     takes_key = is_complex and m in ("cgs", "bicgstab", "tfqmr")
     M_static = needs_M and not isinstance(M, LinearOperator)
 
+    nrhs = int(B.shape[0])
     cache_key = ("batched", fn, params, monitor, needs_M, needs_bounds,
-                 takes_key, M if M_static else None)
+                 takes_key, M if M_static else None, trace_len, nrhs)
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is None:
         def run(A_t, B_t, X0_t, *extras):
             Ab = _VmappedOperator(A_t)
-            kwargs = dict(params=params, monitor=monitor)
+            kwargs = dict(params=params, monitor=monitor,
+                          trace_len=trace_len)
             i = 0
             if needs_M:
                 if M_static:
@@ -854,7 +875,7 @@ def solve_batched(
                 i += 2
             if takes_key:
                 kwargs["key"] = extras[i]
-            with H.batched(), H.reduction_dtype(params.reduce_dtype):
+            with H.batched(nrhs=nrhs), H.reduction_dtype(params.reduce_dtype):
                 return fn(Ab, B_t, X0_t, **kwargs)
 
         jitted = jax.jit(run)
@@ -876,7 +897,7 @@ def solve_batched(
         status_code=carry["status"],
         iterations=carry["t"],
         residual=carry["residual"],
-        trace=None,
+        trace=carry.get("trace"),
     )
     if check:
         from .utils.errors import check_status

@@ -325,8 +325,6 @@ def tfqmr(A, b, x0=None, *, params=SolverParams(), monitor=None, trace_len=0, ke
     eps = params.epsilon
     rdt = b.real.dtype
     is_batched = H.batch_active()
-    if is_batched and trace_len > 0:
-        raise ValueError("trace_len > 0 is not supported for batched solves")
 
     Ax = A.mv(x)
     rk = b - Ax

@@ -185,9 +185,9 @@ def gmres(A, b, x0=None, *, restart: int = 32, M=None,
             res_j = metric(phibar * phibar, x_sq)
             # Per-product residual trace (same cadence as the other
             # engines; the outer harness records the cycle boundaries).
-            # Single-system only: under the batched harness c["t"] is a
-            # per-system vector and would index the trace with an array.
-            if trace is not None and bshape == ():
+            # Batched: record_trace scatters per-system rows from the
+            # per-system product counter c["t"] + j.
+            if trace is not None:
                 trace = H.record_trace(trace, c["t"] + j,
                                        res_j.astype(trace.dtype))
             # First product at which each system met the tolerance — the

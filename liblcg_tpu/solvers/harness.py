@@ -91,8 +91,14 @@ _BATCHED: list = []
 
 
 @contextlib.contextmanager
-def batched():
-    _BATCHED.append(True)
+def batched(nrhs: Optional[int] = None):
+    """Trace the enclosed solver over a stack of right-hand sides.
+
+    ``nrhs`` is only needed when the solve records a residual trace
+    (``trace_len > 0``): :func:`init_trace` sizes the per-system trace
+    matrix ``(nrhs, trace_len)`` from it.
+    """
+    _BATCHED.append(nrhs if nrhs is not None else True)
     try:
         yield
     finally:
@@ -101,6 +107,13 @@ def batched():
 
 def batch_active() -> bool:
     return bool(_BATCHED)
+
+
+def batch_nrhs() -> Optional[int]:
+    """The declared system count of the active batched context, if given."""
+    if _BATCHED and _BATCHED[-1] is not True:
+        return _BATCHED[-1]
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -220,8 +233,19 @@ def has_nan(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_trace(trace_len: int, dtype=jnp.float64):
+    """Residual-trace buffer: ``(trace_len,)``, or per-system
+    ``(nrhs, trace_len)`` inside a batched context (the progress contract
+    of lcg.h:53-54, per right-hand side)."""
     if trace_len <= 0:
         return None
+    if batch_active():
+        nrhs = batch_nrhs()
+        if nrhs is None:
+            raise ValueError(
+                "batched trace recording needs the system count: enter the "
+                "context as harness.batched(nrhs=...) when trace_len > 0"
+            )
+        return jnp.zeros((nrhs, trace_len), dtype=dtype)
     return jnp.zeros((trace_len,), dtype=dtype)
 
 
@@ -229,6 +253,13 @@ def record_trace(trace, t, value):
     if trace is None:
         return None
     # mode="drop" discards out-of-range writes — no lax.cond needed.
+    if trace.ndim == 2:
+        # Per-system rows: t/value arrive as (nrhs, 1) mid-loop or (nrhs,)
+        # after the post-loop reshape.
+        nrhs = trace.shape[0]
+        ti = jnp.reshape(t, (nrhs,))
+        vi = jnp.reshape(value, (nrhs,)).astype(trace.dtype)
+        return trace.at[jnp.arange(nrhs), ti].set(vi, mode="drop")
     return trace.at[t].set(value.astype(trace.dtype), mode="drop")
 
 
@@ -267,8 +298,6 @@ def run_loop(
     tracing = carry.get("trace") is not None
     is_batched = batch_active()
     if is_batched:
-        if tracing:
-            raise ValueError("trace_len > 0 is not supported for batched solves")
         nrhs = x_of(carry).shape[0]
         carry = dict(carry, t=jnp.zeros((nrhs, 1), jnp.int32) + carry["t"])
 

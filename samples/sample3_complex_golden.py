@@ -13,13 +13,17 @@ import jax
 # already imported jax, hence jax.config).  On-chip complex solves go
 # through the realified 2x2-block form instead — see PARITY.md's
 # decision tree and the bench complex/complex1k workloads.
-try:
-    jax.config.update("jax_platforms", "cpu")
-except RuntimeError:
-    pass  # backend already initialized (e.g. imported from a larger app)
 # The reference is double precision (c128); without x64 the system loads
 # as c64 and the ill-conditioned case_1K stalls short of the 1e-6 bar.
-jax.config.update("jax_enable_x64", True)
+# Both config updates sit in ONE guard: if the backend is already
+# initialized (imported from a larger app) we must neither re-pin the
+# platform nor mutate the host application's global x64 setting — this
+# sample's c128 parity then requires standalone execution.
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+except RuntimeError:
+    pass  # backend already initialized; run standalone for c128 parity
 
 import numpy as np
 import jax.numpy as jnp

@@ -360,13 +360,14 @@ def test_sharded_batched_pcg_jacobi(banded_system):
     np.testing.assert_allclose(np.asarray(res.x[1]), 3 * x_true, atol=3e-4)
 
 
-def test_sharded_batched_rejects_trace(banded_system):
+def test_sharded_batched_rejects_3d_b(banded_system):
     n, rows, cols, vals, b, _ = banded_system
     A = ShardedSparseOperator(n, rows, cols, vals, n_devices=8)
     with pytest.raises(ValueError):
-        solve_sharded(A, np.stack([b, b]), method="cg", trace_len=8)
-    with pytest.raises(ValueError):
         solve_sharded(A, np.stack([[b, b]]))  # 3-D b
+    # Batched traces are supported since round 4 (per-system rows).
+    res = solve_sharded(A, np.stack([b, b]), method="cg", trace_len=8)
+    assert res.trace is not None and res.trace.shape == (2, 8)
 
 
 def test_block_jacobi_ic_sharded(banded_system):

@@ -1,15 +1,22 @@
 """Iteration-count parity against the actual reference binary.
 
-The expected counts below were measured by building the reference library
-from /root/reference (cmake, native backend) and driving its own
-``lcg_solver`` with its own ``lcg_matvec_coo`` callback on the shipped
-data/case_10K system at epsilon=1e-12 (the squared-norm-ratio rule):
+The expected counts below are measured by building the reference library
+from /root/reference (native backend) and driving its own ``lcg_solver``
+with its own ``lcg_matvec_coo`` callback on the shipped data/case_10K
+system at epsilon=1e-12 (the squared-norm-ratio rule):
 
     CG=121  CGS=68  BICGSTAB=80  BICGSTAB2=81
 
 CG and CGS reproduce exactly (same recurrence, deterministic arithmetic);
 the BiCGSTAB variants' omega/restart computations are rounding-sensitive,
 so those match within a small band.
+
+REPRODUCIBLE ORACLE: every count in this file (and the walls in
+bench_baseline.json) regenerates via ``profiling/make_reference_counts.sh``
+(builds the unmodified reference sources, compiles
+profiling/reference_counts.cpp against them, runs the shipped data;
+``--quick`` skips the timing workloads).  Last regenerated 2026-08-19 —
+all pinned counts confirmed (profiling/reference_counts.json).
 """
 
 import jax.numpy as jnp
@@ -53,6 +60,40 @@ COMPLEX_REFERENCE_COUNTS = [
     ("cgs", 732, 30),
     ("tfqmr", 1464, 50),
 ]
+
+
+#: Complex-10K counts from the reference binary (native clcg_solver with a
+#: COO callback on data/case_10K_cA, epsilon=1e-6 abs_diff — the sample6
+#: configuration, sample6.cpp:194-195), regenerated 2026-08-19 by
+#: profiling/make_reference_counts.sh: BICG 450, BICG_SYM 450, CGS 817,
+#: TFQMR 1536 (BICGSTAB takes 8635 iterations — the reference's own
+#: bicgstab effectively fails on this spectrum, so it is not pinned).
+#: At 450+ iterations and n=10000 the trajectories are even more
+#: reduction-order-sensitive than case_1K; bands are a few percent.
+COMPLEX10K_REFERENCE_COUNTS = [
+    ("bicg", 450, 30),
+    ("bicg_sym", 450, 30),
+    ("cgs", 817, 80),       # random shadow residual on both sides
+    ("tfqmr", 1536, 150),
+]
+
+
+@pytest.mark.parametrize("method,ref_iters,tol", COMPLEX10K_REFERENCE_COUNTS)
+def test_complex_iteration_parity_case10k(case_10k_complex, method, ref_iters,
+                                          tol):
+    sys_, answer = case_10k_complex
+    A = lcg.SparseOperator(sys_.n, sys_.n, sys_.rows, sys_.cols, sys_.vals)
+    res = lcg.solve(A, jnp.asarray(sys_.b), method=method,
+                    params=lcg.SolverParams(epsilon=1e-6, abs_diff=1))
+    assert res.converged, f"{method}: {res.status}"
+    got = int(res.iterations)
+    assert abs(got - ref_iters) <= tol, (
+        f"{method}: {got} iterations vs reference binary's {ref_iters}"
+    )
+    import numpy as np
+
+    md = float(np.max(np.abs(np.asarray(res.x) - answer)))
+    assert md < 0.1, f"{method}: max_diff vs shipped answer {md}"
 
 
 @pytest.mark.parametrize("method,ref_iters,tol", COMPLEX_REFERENCE_COUNTS)

@@ -1,0 +1,119 @@
+"""Round-4 items: batched residual traces (VERDICT r3 item 7).
+
+The reference's progress contract exposes the residual every iteration
+(lcg.h:53-54); the multi-RHS paths now honor it with per-system trace
+rows: ``solve_batched(..., trace_len=k).trace`` is (nrhs, k).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import liblcg_tpu as lcg
+
+
+@pytest.fixture(scope="module")
+def spd():
+    rng = np.random.default_rng(7)
+    m, n = 100, 80
+    K = rng.uniform(-1.0, 1.0, size=(m, n))
+    A = K.T @ K + 0.1 * np.eye(n)
+    X_true = rng.uniform(1.0, 2.0, size=(4, n))
+    B = X_true @ A.T
+    return A, B, X_true
+
+
+PARAMS = lcg.SolverParams(epsilon=1e-12)
+
+
+@pytest.mark.parametrize("method", ["cg", "cgs", "bicgstab"])
+def test_batched_trace_matches_single(spd, method):
+    A, B, _ = spd
+    op = lcg.DenseOperator(A)
+    k = 24
+    res = lcg.solve_batched(op, B, method=method, params=PARAMS, trace_len=k)
+    assert res.trace is not None and res.trace.shape == (B.shape[0], k)
+    for i in range(B.shape[0]):
+        single = lcg.solve(op, B[i], method=method, params=PARAMS,
+                           trace_len=k, pallas="never")
+        ti = int(min(int(single.iterations), k))
+        np.testing.assert_allclose(
+            np.asarray(res.trace[i][:ti]), np.asarray(single.trace[:ti]),
+            rtol=1e-6,
+        )
+
+
+def test_batched_trace_frozen_rows_stop_updating(spd):
+    """A system that converges early must keep zeros past its exit point
+    (frozen rows), while a harder batchmate keeps recording."""
+    A, B, _ = spd
+    op = lcg.DenseOperator(A)
+    # Make system 0 trivial (b = 0 -> already optimized at t=0).
+    B2 = np.array(B)
+    B2[0] = 0.0
+    k = 16
+    res = lcg.solve_batched(lcg.DenseOperator(A), B2, method="cg",
+                            params=PARAMS, trace_len=k)
+    assert int(res.iterations[0]) == 0
+    # Row 0 recorded at most its initial residual; the tail stays zero.
+    assert np.all(np.asarray(res.trace[0][1:]) == 0.0)
+    # A real system's early entries are decreasing and nonzero.
+    row = np.asarray(res.trace[1])
+    nz = row[row > 0]
+    assert nz.size >= 3 and nz[2] < nz[0]
+
+
+def test_batched_trace_tfqmr_complex(case_1k_complex=None):
+    rng = np.random.default_rng(3)
+    n = 60
+    Ar = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = (Ar + Ar.T) / 2 + 4 * n * np.eye(n)  # complex-symmetric, diag-dominant
+    X = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    B = X @ A.T
+    k = 32
+    res = lcg.solve_batched(lcg.DenseOperator(A), B, method="tfqmr",
+                            params=lcg.SolverParams(epsilon=1e-10),
+                            trace_len=k)
+    assert res.trace is not None and res.trace.shape == (3, k)
+    for i in range(3):
+        assert lcg.Status(int(res.status_code[i])) in (
+            lcg.Status.CONVERGENCE, lcg.Status.ALREADY_OPTIMIZED)
+        row = np.asarray(res.trace[i])
+        assert (row > 0).sum() >= 2
+
+
+def test_batched_trace_gmres(spd):
+    A, B, _ = spd
+    res = lcg.solve_batched(lcg.DenseOperator(A), B, method="gmres",
+                            params=lcg.SolverParams(epsilon=1e-12),
+                            restart=40, trace_len=40)
+    assert res.trace is not None and res.trace.shape == (B.shape[0], 40)
+    for i in range(B.shape[0]):
+        row = np.asarray(res.trace[i])
+        nz = row[row > 0]
+        assert nz.size >= 3 and nz[-1] < nz[0]
+
+
+def test_sharded_batched_trace(spd):
+    from liblcg_tpu.parallel import ShardedSparseOperator, solve_sharded
+
+    A, B, _ = spd
+    n = A.shape[0]
+    rows, cols = np.nonzero(A)
+    S = ShardedSparseOperator(n, rows, cols, A[rows, cols], n_devices=8)
+    k = 24
+    res = solve_sharded(S, jnp.asarray(B), method="cg", params=PARAMS,
+                        trace_len=k)
+    assert res.trace is not None and res.trace.shape == (B.shape[0], k)
+    single = lcg.solve(lcg.DenseOperator(A), B[0], method="cg",
+                       params=PARAMS, trace_len=k, pallas="never")
+    ti = min(int(single.iterations), k)
+    np.testing.assert_allclose(np.asarray(res.trace[0][:ti]),
+                               np.asarray(single.trace[:ti]), rtol=1e-5)
+
+
+def test_block_solve_trace_raises(spd):
+    A, B, _ = spd
+    with pytest.raises(ValueError, match="block"):
+        lcg.solve_batched(lcg.DenseOperator(A), B, method="block_cg",
+                          params=PARAMS, trace_len=8)

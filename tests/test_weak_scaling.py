@@ -207,22 +207,30 @@ def test_weak_scaling_artifact_and_thresholds():
     # machinery-only; the single-chip nnz/s point ties it to hardware.
     # A DEGRADED window (bar waived) must not overwrite a quiet-window
     # sweep either: the artifact's primary curve stays the last one
-    # measured with the bar applied, and the degraded run is recorded
-    # alongside it so history still shows every attempt.
+    # measured with the bar applied, and the degraded run is appended to
+    # a bounded, timestamped history list so consecutive degraded runs
+    # all stay visible.
+    _QUIET_KEYS = ("sweep", "sweep_attempts", "host_load_at_start",
+                   "busy_ms_this_run", "efficiency_bar_applied")
     try:
         with open(ARTIFACT) as f:
             prev = json.load(f)
         if "tpu_single_chip" in prev:
             artifact["tpu_single_chip"] = prev["tpu_single_chip"]
-        if bar is None and prev.get("efficiency_bar_applied") is not None:
-            artifact["last_degraded_run"] = {
+        if (bar is None and prev.get("efficiency_bar_applied") is not None
+                and all(k in prev for k in _QUIET_KEYS)):
+            runs = prev.get("degraded_runs") or []
+            runs.append({
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "sweep_attempts": artifact["sweep_attempts"],
                 "busy_ms": artifact["busy_ms_this_run"],
                 "host_load_at_start": artifact["host_load_at_start"],
-            }
-            for key in ("sweep", "sweep_attempts", "host_load_at_start",
-                        "busy_ms_this_run", "efficiency_bar_applied"):
+            })
+            artifact["degraded_runs"] = runs[-5:]
+            for key in _QUIET_KEYS:
                 artifact[key] = prev[key]
+        elif prev.get("degraded_runs"):
+            artifact["degraded_runs"] = prev["degraded_runs"][-5:]
     except Exception:
         pass
     with open(ARTIFACT, "w") as f:
