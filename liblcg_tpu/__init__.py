@@ -52,6 +52,7 @@ from .operators import (
     ScaledOperator,
     SymScaledOperator,
     RealifiedOperator,
+    ScatteredOperator,
     SparseOperator,
     SumOperator,
     aslinearoperator,
@@ -78,6 +79,8 @@ from .solve import (
     solve_batched,
 )
 from .solvers.refine import solve_refined, solve_refined_batched
+from .solvers.cplx_pairs import PairJacobi, solve_realified
+from .solvers.direct import ScatteredDirectSolver, try_scattered_direct
 from .precond import (
     ChebyshevPreconditioner,
     JacobiPreconditioner,
@@ -111,6 +114,7 @@ __all__ = [
     "Status",
     "LinearOperator",
     "DenseOperator",
+    "ScatteredOperator",
     "SparseOperator",
     "BandedOperator",
     "RealifiedOperator",
@@ -132,6 +136,10 @@ __all__ = [
     "solve",
     "solve_refined",
     "solve_refined_batched",
+    "solve_realified",
+    "PairJacobi",
+    "ScatteredDirectSolver",
+    "try_scattered_direct",
     "solve_batched",
     "BATCHED_METHODS",
     "BLOCK_METHODS",

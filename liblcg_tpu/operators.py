@@ -273,6 +273,105 @@ def _sparse_unflatten(aux, children):
 register_pytree_node(SparseOperator, _sparse_flatten, _sparse_unflatten)
 
 
+class ScatteredOperator(LinearOperator):
+    """Diagonal plus a handful of scattered off-diagonal entries.
+
+    The shape of the reference's shipped complex 10K system
+    (data/case_10K_cA: 10,000 diagonal entries + 200 scattered
+    symmetric couplings over 197 distinct offsets,
+    sample6.cpp:162-163).  Neither ELL (one giant gather per product —
+    and the realified ELL graph is a pinned remote-compile hang,
+    PARITY.md) nor DIA (197 mostly-empty diagonals) fits it; the natural
+    product is
+
+        A x = diag * x + scatter_add(rows, vals * x[cols])
+
+    — one elementwise multiply plus a k-element gather/scatter
+    (k = #off-diagonals), which compiles instantly and costs ~nothing.
+    For an exact direct solve of the same shape see
+    :class:`liblcg_tpu.ScatteredDirectSolver` (Woodbury).
+    """
+
+    def __init__(self, n: int, rows, cols, vals, *, dtype=None):
+        from .solvers.direct import scattered_split
+
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        if dtype is not None:
+            vals = vals.astype(dtype)
+        diag, orow, ocol, oval = scattered_split(n, rows, cols, vals)
+        self.shape = (int(n), int(n))
+        self.dtype = jnp.dtype(vals.dtype)
+        # Complex values stay HOST-side (numpy): on complex-less
+        # accelerator backends (this TPU) even creating a complex device
+        # array fails with UNIMPLEMENTED at first materialization — and a
+        # complex ScatteredOperator's only on-chip use is as the staging
+        # input to realify()/solve_realified, which read host values.
+        put = (np.asarray if jnp.issubdtype(self.dtype, jnp.complexfloating)
+               else jnp.asarray)
+        self.diag = put(diag)
+        self.off_rows = jnp.asarray(orow, jnp.int32)
+        self.off_cols = jnp.asarray(ocol, jnp.int32)
+        self.off_vals = put(oval)
+        self.nnz = int(len(vals))
+
+    def mv(self, x):
+        return (self.diag * x).at[self.off_rows].add(
+            self.off_vals * x[self.off_cols])
+
+    def rmv(self, x):
+        return (self.diag * x).at[self.off_cols].add(
+            self.off_vals * x[self.off_rows])
+
+    def cmv(self, x):
+        if not jnp.issubdtype(self.dtype, jnp.complexfloating):
+            return self.mv(x)
+        return (jnp.conj(self.diag) * x).at[self.off_rows].add(
+            jnp.conj(self.off_vals) * x[self.off_cols])
+
+    def hmv(self, x):
+        if not jnp.issubdtype(self.dtype, jnp.complexfloating):
+            return self.rmv(x)
+        return (jnp.conj(self.diag) * x).at[self.off_cols].add(
+            jnp.conj(self.off_vals) * x[self.off_rows])
+
+    def diagonal(self):
+        return self.diag
+
+    def col_sq_norms(self):
+        v = jnp.abs(self.diag) ** 2
+        return v.at[self.off_cols].add(jnp.abs(self.off_vals) ** 2)
+
+    def astype(self, dtype):
+        obj = object.__new__(ScatteredOperator)
+        obj.diag = self.diag.astype(dtype)
+        obj.off_rows = self.off_rows
+        obj.off_cols = self.off_cols
+        obj.off_vals = self.off_vals.astype(dtype)
+        obj.shape = self.shape
+        obj.dtype = jnp.dtype(dtype)
+        obj.nnz = self.nnz
+        return obj
+
+
+def _scattered_flatten(op):
+    return ((op.diag, op.off_rows, op.off_cols, op.off_vals),
+            (op.shape, str(op.dtype), op.nnz))
+
+
+def _scattered_unflatten(aux, children):
+    obj = object.__new__(ScatteredOperator)
+    obj.diag, obj.off_rows, obj.off_cols, obj.off_vals = children
+    obj.shape, dtype_str, obj.nnz = aux
+    obj.dtype = jnp.dtype(dtype_str)
+    return obj
+
+
+register_pytree_node(ScatteredOperator, _scattered_flatten,
+                     _scattered_unflatten)
+
+
 class BandedOperator(LinearOperator):
     """Sparse operator in DIA (diagonal) storage — the gather-free TPU form.
 
@@ -760,6 +859,31 @@ class RealifiedOperator(LinearOperator):
                 part.offsets = A.offsets
                 part.diag_vals = jnp.asarray(v.astype(rdt))
                 part.nnz = A.nnz
+        elif isinstance(A, ScatteredOperator):
+            # Keep the diag-plus-scatter product shape: realified re/im
+            # parts are themselves diagonal + scattered (the im diagonal
+            # may be zero-valued, which costs nothing).
+            n0 = A.shape[0]
+            d = np.asarray(A.diag)
+            orow = np.asarray(A.off_rows)
+            ocol = np.asarray(A.off_cols)
+            oval = np.asarray(A.off_vals)
+            base = np.arange(n0)
+            self.re = ScatteredOperator(
+                n0, np.concatenate([base, orow]),
+                np.concatenate([base, ocol]),
+                np.concatenate([d.real, oval.real]).astype(rdt))
+            # The imaginary part usually has zero diagonals; inject an
+            # explicit zero diagonal so scattered_split accepts it, then
+            # overwrite with the true imaginary diagonal.
+            self.im = object.__new__(ScatteredOperator)
+            self.im.shape = (n0, n0)
+            self.im.dtype = jnp.dtype(rdt)
+            self.im.diag = jnp.asarray(d.imag.astype(rdt))
+            self.im.off_rows = jnp.asarray(orow, jnp.int32)
+            self.im.off_cols = jnp.asarray(ocol, jnp.int32)
+            self.im.off_vals = jnp.asarray(oval.imag.astype(rdt))
+            self.im.nnz = A.nnz
         elif isinstance(A, SparseOperator):
             cols = np.asarray(A.ell_cols)
             vals = np.asarray(A.ell_vals)
@@ -774,7 +898,7 @@ class RealifiedOperator(LinearOperator):
                                      v[keep].imag.astype(rdt))
         else:
             raise TypeError(
-                f"realify supports Dense/Sparse/Banded operators, "
+                f"realify supports Dense/Sparse/Banded/Scattered operators, "
                 f"got {type(A).__name__}"
             )
         n = A.shape[1]
@@ -782,13 +906,48 @@ class RealifiedOperator(LinearOperator):
         self.shape = (2 * A.shape[0], 2 * n)
         self.dtype = jnp.dtype(rdt)
 
+    def _scattered_apply(self, x2, transpose: bool):
+        """Fused stacked product for diag+scattered parts: ONE gather and
+        ONE scatter over the stacked (2n,) vector instead of 4 each (the
+        generic path's 4 sub-products) — gathers/scatters are the
+        dominant per-iteration cost of the pair engines on this chip."""
+        n = self._n
+        re, im = self.re, self.im
+        xr, xi = x2[:n], x2[n:]
+        dr, di = re.diag, im.diag
+        if transpose:
+            # R(A)^T: [[Ar^T, Ai^T], [-Ai^T, Ar^T]]
+            yr = dr * xr + di * xi
+            yi = -di * xr + dr * xi
+            rows, cols = re.off_cols, re.off_rows
+        else:
+            yr = dr * xr - di * xi
+            yi = di * xr + dr * xi
+            rows, cols = re.off_rows, re.off_cols
+        vr, vi = re.off_vals, im.off_vals
+        k = vr.shape[0]
+        g = x2[jnp.concatenate([cols, cols + n])]
+        xr_c, xi_c = g[:k], g[k:]
+        if transpose:
+            adds = jnp.concatenate([vr * xr_c + vi * xi_c,
+                                    -vi * xr_c + vr * xi_c])
+        else:
+            adds = jnp.concatenate([vr * xr_c - vi * xi_c,
+                                    vi * xr_c + vr * xi_c])
+        idx = jnp.concatenate([rows, rows + n])
+        return jnp.concatenate([yr, yi]).at[idx].add(adds)
+
     def mv(self, x2):
+        if isinstance(self.re, ScatteredOperator):
+            return self._scattered_apply(x2, transpose=False)
         xr, xi = x2[: self._n], x2[self._n :]
         yr = self.re.mv(xr) - self.im.mv(xi)
         yi = self.im.mv(xr) + self.re.mv(xi)
         return jnp.concatenate([yr, yi])
 
     def rmv(self, x2):
+        if isinstance(self.re, ScatteredOperator):
+            return self._scattered_apply(x2, transpose=True)
         xr, xi = x2[: self._n], x2[self._n :]
         yr = self.re.rmv(xr) + self.im.rmv(xi)
         yi = -self.im.rmv(xr) + self.re.rmv(xi)
@@ -831,8 +990,15 @@ def realify(A: "LinearOperator") -> "RealifiedOperator":
 
 
 def split_complex(z) -> jnp.ndarray:
-    """Pack a complex vector as [real; imag] for a realified solve."""
-    z = jnp.asarray(z)
+    """Pack a complex vector as [real; imag] for a realified solve.
+
+    Host (numpy) inputs split on host — creating a complex DEVICE array
+    first would raise UNIMPLEMENTED on complex-less backends (this TPU);
+    only the real-valued stacked result goes to the device.
+    """
+    if not isinstance(z, jnp.ndarray):
+        z = np.asarray(z)
+        return jnp.asarray(np.concatenate([z.real, z.imag]))
     return jnp.concatenate([jnp.real(z), jnp.imag(z)])
 
 

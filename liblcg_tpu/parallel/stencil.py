@@ -316,6 +316,38 @@ class Stencil3DOperator(LinearOperator):
         obj.nnz = self.nnz
         return obj
 
+    def to_coo(self):
+        """Host COO triplets (rows, cols, vals) of the assembled matrix —
+        the bridge to the factorization helpers (incomplete_cholesky_coo
+        etc.), mirroring how the reference's samples hand an assembled
+        COO to the preconditioner builders (sample8.cu:142-236)."""
+        nz, ny, nx = self.grid
+        n = nz * ny * nx
+        idx = np.arange(n).reshape(nz, ny, nx)
+        rows = [np.arange(n)]
+        cols = [np.arange(n)]
+        vals = [np.asarray(self.c0)]
+        for cname, ax, d in (("cxm", 2, -1), ("cxp", 2, 1), ("cym", 1, -1),
+                             ("cyp", 1, 1), ("czm", 0, -1), ("czp", 0, 1)):
+            c = np.asarray(getattr(self, cname)).reshape(nz, ny, nx)
+            sl_src = [slice(None)] * 3
+            sl_dst = [slice(None)] * 3
+            if d < 0:
+                sl_src[ax] = slice(1, None)
+                sl_dst[ax] = slice(0, -1)
+            else:
+                sl_src[ax] = slice(0, -1)
+                sl_dst[ax] = slice(1, None)
+            r = idx[tuple(sl_src)].ravel()
+            cc = idx[tuple(sl_dst)].ravel()
+            v = c[tuple(sl_src)].ravel()
+            keep = v != 0
+            rows.append(r[keep])
+            cols.append(cc[keep])
+            vals.append(v[keep])
+        return (np.concatenate(rows), np.concatenate(cols),
+                np.concatenate(vals))
+
     @classmethod
     def diffusion(cls, kappa, *, dtype=None):
         """SPD operator -div(kappa grad) with harmonic-mean face

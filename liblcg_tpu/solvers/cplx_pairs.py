@@ -1,0 +1,483 @@
+"""Complex Krylov engines on a complex-less backend: pair arithmetic.
+
+This TPU backend has NO complex dtypes (every complex op raises
+UNIMPLEMENTED), yet the reference's flagship complex workload is a 10K
+complex-symmetric sparse system driven by BiCG/BiCG-sym/CGS/TFQMR and
+Jacobi-PCG/PBiCG (sample6.cpp:151-195, sample10.cu:193-273).  The
+engines here reproduce those recurrences EXACTLY — same inner products,
+same stopping metric (the reference's ||r||^4 ratio, clcg.cpp:112-147),
+same iteration counts — in pure real arithmetic:
+
+- a complex vector travels as a stacked real vector ``[re; im]`` (2n,);
+- the operator is a :class:`~liblcg_tpu.operators.RealifiedOperator`
+  (block form [[Ar, -Ai], [Ai, Ar]]), whose ``rmv`` is the Hermitian
+  product A^H and whose conjugate product conj(A)x is a sign flip away;
+- the unconjugated ``clcg_dot`` (lcg_complex.cpp:143-154) and conjugated
+  ``clcg_inner`` (:156-167) become fused two-reduction real dots.
+
+Unlike the CGNR-on-realified-normal-equations escape hatch (PARITY.md
+decision tree), these run the reference's OWN algorithms, so iteration
+parity against the reference binary holds on chip (bands in
+tests/test_reference_parity.py; counts regenerable by
+profiling/make_reference_counts.sh).
+
+All state lives in one ``lax.while_loop`` carry via the shared harness —
+identical performance shape to the real-domain engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..operators import (
+    LinearOperator,
+    RealifiedOperator,
+    merge_complex,
+    realify,
+    split_complex,
+)
+from ..types import DEFAULT_PARAMS, SolverParams, SolveResult, Status
+from . import harness as H
+
+# ---------------------------------------------------------------------------
+# Pair arithmetic: complex scalars are (re, im) tuples of 0-d real arrays;
+# complex vectors are stacked (2n,) real arrays [re; im].
+# ---------------------------------------------------------------------------
+
+
+def _halves(v):
+    n = v.shape[-1] // 2
+    return v[..., :n], v[..., n:]
+
+
+def pair_dot_u(a, b):
+    """Unconjugated sum a_i b_i (``clcg_dot``) as a scalar pair."""
+    ar, ai = _halves(a)
+    br, bi = _halves(b)
+    return (H.dot_u(ar, br) - H.dot_u(ai, bi),
+            H.dot_u(ar, bi) + H.dot_u(ai, br))
+
+
+def pair_dot_c(a, b):
+    """Conjugated sum conj(a_i) b_i (``clcg_inner``) as a scalar pair."""
+    ar, ai = _halves(a)
+    br, bi = _halves(b)
+    return (H.dot_u(ar, br) + H.dot_u(ai, bi),
+            H.dot_u(ar, bi) - H.dot_u(ai, br))
+
+
+def pair_sq_norm(a):
+    """||a||^2 (real scalar)."""
+    return H.sq_norm(a)
+
+
+def fused_sums(*rows):
+    """Many independent sum-reductions in ONE launch: stack the (n,)
+    summand arrays and reduce along the trailing axis (psum'd when
+    distributed).  On this chip every tiny f64-emulated reduction lowers
+    to its own ~49 us sequential while-op (CLAUDE.md), so an engine step
+    that needs 6 scalars pays 6 launches unfused but 1-2 fused — the
+    dominant cost of the pair engines at n=10K."""
+    s = jnp.sum(jnp.stack(rows), axis=-1)
+    ax = H.dist_axis()
+    if ax is not None:
+        from jax import lax
+
+        s = lax.psum(s, ax)
+    return tuple(s)
+
+
+def s_mul(s, t):
+    sr, si = s
+    tr, ti = t
+    return (sr * tr - si * ti, sr * ti + si * tr)
+
+
+def s_div(s, t):
+    sr, si = s
+    tr, ti = t
+    d = tr * tr + ti * ti
+    return ((sr * tr + si * ti) / d, (si * tr - sr * ti) / d)
+
+
+def s_conj(s):
+    return (s[0], -s[1])
+
+
+def axpy(s, v, w):
+    """w + s * v for a scalar pair s and stacked vectors (w may be 0)."""
+    sr, si = s
+    vr, vi = _halves(v)
+    return jnp.concatenate([sr * vr - si * vi, sr * vi + si * vr],
+                           axis=-1) + w
+
+
+def vconj(v):
+    vr, vi = _halves(v)
+    return jnp.concatenate([vr, -vi], axis=-1)
+
+
+def diag_mul(d, v):
+    """Elementwise complex product diag(d) v; d a stacked (2n,) pair."""
+    dr, di = _halves(d)
+    vr, vi = _halves(v)
+    return jnp.concatenate([dr * vr - di * vi, dr * vi + di * vr], axis=-1)
+
+
+class PairJacobi:
+    """Jacobi M^{-1} for pair vectors: elementwise complex multiply by
+    1/diag(A) (the sample6.cpp:151-158 preconditioner)."""
+
+    def __init__(self, inv_diag_stacked):
+        self.inv_diag = jnp.asarray(inv_diag_stacked)
+
+    @classmethod
+    def from_complex_diag(cls, diag):
+        diag = np.asarray(diag)
+        return cls(split_complex(1.0 / diag))
+
+    def mv(self, v):
+        return diag_mul(self.inv_diag, v)
+
+
+jax.tree_util.register_pytree_node(
+    PairJacobi,
+    lambda M: ((M.inv_diag,), None),
+    lambda aux, ch: PairJacobi(ch[0]),
+)
+
+
+def _conj_mv(A: RealifiedOperator, v):
+    """conj(A) v for a stacked pair (the reference's (MatNormal, Conjugate)
+    callback mode, lcg_complex.h:310-327): conj(A)(xr + i xi) has real part
+    Ar xr + Ai xi and imaginary part -Ai xr + Ar xi."""
+    xr, xi = _halves(v)
+    yr = A.re.mv(xr) + A.im.mv(xi)
+    yi = -A.im.mv(xr) + A.re.mv(xi)
+    return jnp.concatenate([yr, yi])
+
+
+# ---------------------------------------------------------------------------
+# Engines (recurrences mirror solvers/cplx.py, which cites the reference
+# line-by-line; only the arithmetic substrate differs).
+# ---------------------------------------------------------------------------
+
+
+def _carry_common(x, rk, b, trace_len):
+    return dict(
+        x=x,
+        rk=rk,
+        rk_sq=pair_sq_norm(rk),
+        m_sq=pair_sq_norm(x),
+        t=jnp.asarray(0, jnp.int32),
+        status=H.running_status(),
+        residual=jnp.asarray(0.0, b.dtype),
+        trace=H.init_trace(trace_len, b.dtype),
+    )
+
+
+def bicg_sym_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
+                   trace_len=0):
+    """BiCG for complex-symmetric A, pair form (clcg.cpp:228-364)."""
+    n = b.shape[0] // 2
+    x = jnp.zeros_like(b) if x0 is None else x0
+    rk = b - A.mv(x)
+    carry = _carry_common(x, rk, b, trace_len)
+    carry["dk"] = rk
+    carry["rkrk"] = pair_dot_u(rk, rk)
+
+    def residual_fn(c):
+        return H.complex_residual(c["rk_sq"], c["m_sq"], n, params.abs_diff)
+
+    def step_fn(c):
+        Adk = A.mv(c["dk"])
+        dr, di = _halves(c["dk"])
+        Ar, Ai = _halves(Adk)
+        dAr, dAi = fused_sums(dr * Ar - di * Ai, dr * Ai + di * Ar)
+        ak = s_div(c["rkrk"], (dAr, dAi))
+        x = axpy(ak, c["dk"], c["x"])
+        rk = axpy((-ak[0], -ak[1]), Adk, c["rk"])
+        rr, ri = _halves(rk)
+        xr, xi = _halves(x)
+        rkr, rki, rk_sq, m_sq = fused_sums(
+            rr * rr - ri * ri, 2.0 * rr * ri,
+            rr * rr + ri * ri, xr * xr + xi * xi)
+        rkrk2 = (rkr, rki)
+        betak = s_div(rkrk2, c["rkrk"])
+        dk = axpy(betak, c["dk"], rk)
+        return dict(c, x=x, rk=rk, dk=dk, rkrk=rkrk2,
+                    rk_sq=rk_sq, m_sq=m_sq)
+
+    return H.run_loop(carry, residual_fn=residual_fn, step_fn=step_fn,
+                      x_of=lambda c: c["x"], params=params, monitor=monitor)
+
+
+def bicg_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
+               trace_len=0):
+    """General BiCG with the A^H dual sequence, pair form
+    (clcg.cpp:77-226; the dual product A^H d2 is RealifiedOperator.rmv)."""
+    n = b.shape[0] // 2
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r1k = b - A.mv(x)
+    r2k = vconj(r1k)
+    carry = _carry_common(x, r1k, b, trace_len)
+    del carry["rk"]
+    carry.update(r1k=r1k, r2k=r2k, d1k=r1k, d2k=r2k,
+                 r1r2=pair_dot_c(r2k, r1k), rk_sq=pair_sq_norm(r1k))
+
+    def residual_fn(c):
+        return H.complex_residual(c["rk_sq"], c["m_sq"], n, params.abs_diff)
+
+    def step_fn(c):
+        Ad1 = A.mv(c["d1k"])
+        ak = s_div(c["r1r2"], pair_dot_c(c["d2k"], Ad1))
+        x = axpy(ak, c["d1k"], c["x"])
+        r1k = axpy((-ak[0], -ak[1]), Ad1, c["r1k"])
+        Ahd2 = A.rmv(c["d2k"])          # R(A)^T == R(A^H)
+        cak = s_conj(ak)
+        r2k = axpy((-cak[0], -cak[1]), Ahd2, c["r2k"])
+        r1r2_2 = pair_dot_c(r2k, r1k)
+        betak = s_div(r1r2_2, c["r1r2"])
+        d1k = axpy(betak, c["d1k"], r1k)
+        d2k = axpy(s_conj(betak), c["d2k"], r2k)
+        return dict(c, x=x, r1k=r1k, r2k=r2k, d1k=d1k, d2k=d2k,
+                    r1r2=r1r2_2, rk_sq=pair_sq_norm(r1k),
+                    m_sq=pair_sq_norm(x))
+
+    return H.run_loop(carry, residual_fn=residual_fn, step_fn=step_fn,
+                      x_of=lambda c: c["x"], params=params, monitor=monitor)
+
+
+def pcg_pairs(A, b, x0=None, *, M, params=SolverParams(), monitor=None,
+              trace_len=0):
+    """Complex-symmetric PCG, pair form (clcg_eigen.cpp:577-683 — the
+    unconjugated d_new at :598)."""
+    n = b.shape[0] // 2
+    apply_M = M.mv if hasattr(M, "mv") else M
+    x = jnp.zeros_like(b) if x0 is None else x0
+    rk = b - A.mv(x)
+    dk = apply_M(rk)
+    carry = _carry_common(x, rk, b, trace_len)
+    carry["dk"] = dk
+    carry["d_new"] = pair_dot_u(rk, dk)
+
+    def residual_fn(c):
+        return H.complex_residual(c["rk_sq"], c["m_sq"], n, params.abs_diff)
+
+    def step_fn(c):
+        Adk = A.mv(c["dk"])
+        dr, di = _halves(c["dk"])
+        Ar, Ai = _halves(Adk)
+        dAr, dAi = fused_sums(dr * Ar - di * Ai, dr * Ai + di * Ar)
+        ak = s_div(c["d_new"], (dAr, dAi))
+        x = axpy(ak, c["dk"], c["x"])
+        rk = axpy((-ak[0], -ak[1]), Adk, c["rk"])
+        sk = apply_M(rk)
+        rr, ri = _halves(rk)
+        sr, si = _halves(sk)
+        xr, xi = _halves(x)
+        dnr, dni, rk_sq, m_sq = fused_sums(
+            rr * sr - ri * si, rr * si + ri * sr,
+            rr * rr + ri * ri, xr * xr + xi * xi)
+        d_new = (dnr, dni)
+        betak = s_div(d_new, c["d_new"])
+        dk = axpy(betak, c["dk"], sk)
+        return dict(c, x=x, rk=rk, dk=dk, d_new=d_new,
+                    rk_sq=rk_sq, m_sq=m_sq)
+
+    return H.run_loop(carry, residual_fn=residual_fn, step_fn=step_fn,
+                      x_of=lambda c: c["x"], params=params, monitor=monitor)
+
+
+def pbicg_pairs(A, b, x0=None, *, M, params=SolverParams(), monitor=None,
+                trace_len=0):
+    """Preconditioned BiCG with the conj(A) dual product, pair form
+    (clcg_eigen.cpp:685-801; the (MatNormal, Conjugate) mode at :765)."""
+    n = b.shape[0] // 2
+    apply_M = M.mv if hasattr(M, "mv") else M
+    x = jnp.zeros_like(b) if x0 is None else x0
+    rk = b - A.mv(x)
+    zk = apply_M(rk)
+    carry = _carry_common(x, rk, b, trace_len)
+    carry.update(pk=zk, rsk=vconj(rk), psk=vconj(zk),
+                 rhok=pair_dot_c(vconj(rk), zk))
+
+    def residual_fn(c):
+        return H.complex_residual(c["rk_sq"], c["m_sq"], n, params.abs_diff)
+
+    def step_fn(c):
+        Apk = A.mv(c["pk"])
+        Aspsk = _conj_mv(A, c["psk"])
+        ak = s_div(c["rhok"], pair_dot_c(c["psk"], Apk))
+        x = axpy(ak, c["pk"], c["x"])
+        cak = s_conj(ak)
+        rsk = axpy((-cak[0], -cak[1]), Aspsk, vconj(c["rk"]))
+        rk = axpy((-ak[0], -ak[1]), Apk, c["rk"])
+        zk = apply_M(rk)
+        rhok2 = pair_dot_c(rsk, zk)
+        betak = s_div(rhok2, c["rhok"])
+        pk = axpy(betak, c["pk"], zk)
+        psk = axpy(s_conj(betak), c["psk"], vconj(zk))
+        return dict(c, x=x, rk=rk, rsk=rsk, pk=pk, psk=psk, rhok=rhok2,
+                    rk_sq=pair_sq_norm(rk), m_sq=pair_sq_norm(x))
+
+    return H.run_loop(carry, residual_fn=residual_fn, step_fn=step_fn,
+                      x_of=lambda c: c["x"], params=params, monitor=monitor)
+
+
+def cgs_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
+              trace_len=0, key=None):
+    """Complex CGS with random shadow residual, pair form
+    (clcg.cpp:366-522; rbar0 ~ U[1,2) real so the redraw loop is skipped —
+    the draw is real-positive and <rbar0, r0> vanishes only for adversarial
+    r0, matching _shadow_residual's first draw)."""
+    import jax
+
+    n = b.shape[0] // 2
+    x = jnp.zeros_like(b) if x0 is None else x0
+    rk = b - A.mv(x)
+    if key is None:
+        key = jax.random.PRNGKey(1234)
+    re = jax.random.uniform(key, (n,), dtype=b.dtype, minval=1.0, maxval=2.0)
+    rbar0 = jnp.concatenate([re, jnp.zeros_like(re)])
+    carry = _carry_common(x, rk, b, trace_len)
+    carry.update(rbar0=rbar0, pk=rk, uk=rk, qk=jnp.zeros_like(rk),
+                 rhok=pair_dot_c(rbar0, rk))
+
+    def residual_fn(c):
+        return H.complex_residual(c["rk_sq"], c["m_sq"], n, params.abs_diff)
+
+    def step_fn(c):
+        Apk = A.mv(c["pk"])
+        sigma = pair_dot_c(c["rbar0"], Apk)
+        ak = s_div(c["rhok"], sigma)
+        qk = axpy((-ak[0], -ak[1]), Apk, c["uk"])
+        wk = c["uk"] + qk
+        Awk = A.mv(wk)
+        x = axpy(ak, wk, c["x"])
+        rk = axpy((-ak[0], -ak[1]), Awk, c["rk"])
+        rhok2 = pair_dot_c(c["rbar0"], rk)
+        betak = s_div(rhok2, c["rhok"])
+        uk = axpy(betak, qk, rk)
+        pk = axpy(betak, axpy(betak, c["pk"], qk), uk)
+        return dict(c, x=x, rk=rk, pk=pk, uk=uk, qk=qk, rhok=rhok2,
+                    rk_sq=pair_sq_norm(rk), m_sq=pair_sq_norm(x))
+
+    return H.run_loop(carry, residual_fn=residual_fn, step_fn=step_fn,
+                      x_of=lambda c: c["x"], params=params, monitor=monitor)
+
+
+_JIT_CACHE: dict = {}
+
+_PAIR_ENGINES = {
+    "bicg": (bicg_pairs, False),
+    "bicg_sym": (bicg_sym_pairs, False),
+    "cgs": (cgs_pairs, False),
+    "pcg": (pcg_pairs, True),
+    "pbicg": (pbicg_pairs, True),
+}
+
+
+def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
+                    params: SolverParams = DEFAULT_PARAMS, monitor=None,
+                    trace_len: int = 0, key=None,
+                    check: bool = False) -> SolveResult:
+    """Solve the complex system ``A x = b`` on a complex-less backend with
+    the reference's own complex algorithms (pair arithmetic).
+
+    ``A``: a complex LinearOperator (Dense / Sparse / Banded — realified
+    internally) or a prebuilt :class:`RealifiedOperator`.  ``b``/``x0``:
+    complex host vectors (packed internally).  ``M``: ``"jacobi"``, a
+    complex diagonal vector, or any callable on stacked pair vectors.
+    Returns a SolveResult whose ``x`` is complex (merged on host).
+
+    Iteration counts match :func:`liblcg_tpu.solve`'s complex engines
+    (same recurrences; reduction order differs so very ill-conditioned
+    systems may shift by a few counts) — and through them the reference
+    binary (test_reference_parity.py bands).
+    """
+    from ..solve import canonical_method
+
+    m = canonical_method(method)
+    if m not in _PAIR_ENGINES:
+        raise ValueError(
+            f"pair-complex engines support {sorted(_PAIR_ENGINES)}; got {m!r}"
+        )
+    fn, needs_M = _PAIR_ENGINES[m]
+
+    if isinstance(A, RealifiedOperator):
+        R = A
+        diag_c = None
+    else:
+        if not isinstance(A, LinearOperator):
+            raise TypeError("A must be a LinearOperator or RealifiedOperator")
+        diag_c = np.asarray(A.diagonal()) if needs_M else None
+        R = realify(A)
+
+    b = np.asarray(b)
+    bp = jnp.asarray(split_complex(b) if np.iscomplexobj(b) else
+                     np.concatenate([b, np.zeros_like(b)]))
+    x0p = None if x0 is None else jnp.asarray(split_complex(np.asarray(x0)))
+
+    err = params.validate(for_method=m)
+    if err is not None:
+        return SolveResult(
+            x=jnp.asarray(np.zeros_like(b)),
+            status_code=jnp.asarray(int(err), jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(jnp.nan), trace=None)
+
+    if needs_M:
+        if M is None:
+            return SolveResult(
+                x=jnp.asarray(np.zeros_like(b)),
+                status_code=jnp.asarray(
+                    int(Status.NULL_PRECONDITION_MATRIX), jnp.int32),
+                iterations=jnp.asarray(0, jnp.int32),
+                residual=jnp.asarray(jnp.nan), trace=None)
+        if isinstance(M, str) and M == "jacobi":
+            if diag_c is None:
+                raise ValueError(
+                    "M='jacobi' needs a complex operator with .diagonal(); "
+                    "pass the complex diagonal explicitly instead")
+            M = PairJacobi.from_complex_diag(diag_c)
+        elif not callable(M) and not hasattr(M, "mv"):
+            # A complex diagonal vector.
+            M = PairJacobi.from_complex_diag(np.asarray(M))
+
+    M_traced = needs_M and isinstance(M, PairJacobi)
+    cache_key = (fn, params, monitor, trace_len,
+                 None if M_traced or not needs_M else M,
+                 key if m == "cgs" else None)
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is None:
+        def run(R_, b_, x_, *extras):
+            kwargs = dict(params=params, monitor=monitor,
+                          trace_len=trace_len)
+            if m == "cgs":
+                kwargs["key"] = key
+            if needs_M:
+                kwargs["M"] = extras[0] if M_traced else M
+            return fn(R_, b_, x_, **kwargs)
+
+        jitted = jax.jit(run)
+        _JIT_CACHE[cache_key] = jitted
+
+    extras = (M,) if M_traced else ()
+    carry = jitted(R, bp, jnp.zeros_like(bp) if x0p is None else x0p,
+                   *extras)
+    x = merge_complex(carry["x"])
+    result = SolveResult(
+        x=x,
+        status_code=carry["status"],
+        iterations=carry["t"],
+        residual=carry["residual"],
+        trace=carry.get("trace"),
+    )
+    if check:
+        from ..utils.errors import check_status
+
+        check_status(result.status_code, raise_error=True, quiet=True)
+    return result

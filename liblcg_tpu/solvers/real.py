@@ -834,6 +834,9 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None,
         qk_m=qk_m,
         gk_mod=H.sq_norm(gk),
         m_mod=jnp.maximum(H.sq_norm(x), 1.0),
+        # Total Armijo backtrack count (each costs one extra A.mv) —
+        # the SPG cost model is iterations * (2 + bt/t) matvecs.
+        bt=jnp.asarray(0, jnp.int32),
         t=jnp.asarray(0, jnp.int32),
         status=H.running_status(),
         residual=jnp.asarray(0.0, gk.real.dtype),
@@ -876,7 +879,7 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None,
             return (alpha, sel(m_new, m_old), sel(Ad, Ad_old),
                     sel(qk, qk_old), k + 1)
 
-        alpha, m_new, Ad, qk, _ = lax.while_loop(
+        alpha, m_new, Ad, qk, n_bt = lax.while_loop(
             ls_cond, ls_body, (alpha0, m_new0, Ad0, qk0, jnp.asarray(0, jnp.int32))
         )
 
@@ -901,6 +904,7 @@ def spg(A, b, x0=None, *, lower, upper, params=SolverParams(), monitor=None,
             gk=gk_new,
             lam=lam,
             qk_m=qk_hist,
+            bt=c["bt"] + n_bt,
             gk_mod=H.sq_norm(gk_new),
             m_mod=jnp.maximum(H.sq_norm(m_new), 1.0),
         )

@@ -1,0 +1,142 @@
+"""Pair-complex engines (solvers/cplx_pairs.py) and the scattered-direct
+Woodbury solver (solvers/direct.py) — the round-4 complex-10K machinery.
+
+The pair engines run the reference's complex recurrences in pure real
+arithmetic (stacked [re; im] vectors over a RealifiedOperator), which is
+what executes on the complex-less TPU backend.  Counts must track the
+complex-dtype engines (same recurrence; reduction order differs).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import liblcg_tpu as lcg
+
+PAIR_METHODS = ["bicg", "bicg_sym", "cgs"]
+PAIR_PRE_METHODS = ["pcg", "pbicg"]
+
+
+@pytest.mark.parametrize("method", PAIR_METHODS)
+def test_pairs_match_complex_engine(complex_sym_small, method):
+    A, b, x_true = complex_sym_small
+    op = lcg.DenseOperator(A)
+    p = lcg.SolverParams(epsilon=1e-14)
+    rc = lcg.solve(op, jnp.asarray(b), method=method, params=p)
+    rp = lcg.solve_realified(op, b, method=method, params=p)
+    assert lcg.Status(int(rp.status_code)) == lcg.Status.CONVERGENCE
+    assert abs(int(rp.iterations) - int(rc.iterations)) <= 3
+    np.testing.assert_allclose(rp.x, x_true, atol=2e-3)
+
+
+@pytest.mark.parametrize("method", PAIR_PRE_METHODS)
+def test_pairs_preconditioned(complex_sym_small, method):
+    A, b, x_true = complex_sym_small
+    op = lcg.DenseOperator(A)
+    p = lcg.SolverParams(epsilon=1e-14)
+    rc = lcg.solve(op, jnp.asarray(b), method=method,
+                   M=lcg.JacobiPreconditioner(op), params=p)
+    rp = lcg.solve_realified(op, b, method=method, M="jacobi", params=p)
+    assert lcg.Status(int(rp.status_code)) == lcg.Status.CONVERGENCE
+    assert abs(int(rp.iterations) - int(rc.iterations)) <= 3
+    np.testing.assert_allclose(rp.x, x_true, atol=2e-3)
+
+
+def test_pairs_golden_case10k(case_10k_complex):
+    """The flagship complex workload (sample6 configuration) through the
+    pair path: Jacobi-PCG converges in ~340 iterations (the complex-dtype
+    engine takes 337; reference-binary BiCG takes 450 unpreconditioned)."""
+    sys_, answer = case_10k_complex
+    A = lcg.SparseOperator(sys_.n, sys_.n, sys_.rows, sys_.cols, sys_.vals)
+    p = lcg.SolverParams(epsilon=1e-6, abs_diff=1)
+    r = lcg.solve_realified(A, sys_.b, method="pcg", M="jacobi", params=p)
+    assert lcg.Status(int(r.status_code)) == lcg.Status.CONVERGENCE
+    assert abs(int(r.iterations) - 337) <= 35
+    md = float(np.max(np.abs(r.x - answer)))
+    assert md < 0.1, md
+
+
+def test_pairs_golden_case10k_bicg_sym(case_10k_complex):
+    """Unpreconditioned bicg_sym tracks the reference binary's 450 within
+    the ill-conditioned band (the complex-dtype engine lands at 464, the
+    pair substrate at ~496 — same recurrence, different reduction order)."""
+    sys_, answer = case_10k_complex
+    A = lcg.SparseOperator(sys_.n, sys_.n, sys_.rows, sys_.cols, sys_.vals)
+    p = lcg.SolverParams(epsilon=1e-6, abs_diff=1)
+    r = lcg.solve_realified(A, sys_.b, method="bicg_sym", params=p)
+    assert lcg.Status(int(r.status_code)) == lcg.Status.CONVERGENCE
+    assert abs(int(r.iterations) - 450) <= 70
+    md = float(np.max(np.abs(r.x - answer)))
+    assert md < 0.1, md
+
+
+def test_pairs_trace_and_monitor(complex_sym_small):
+    A, b, _ = complex_sym_small
+    op = lcg.DenseOperator(A)
+    r = lcg.solve_realified(op, b, method="bicg_sym",
+                            params=lcg.SolverParams(epsilon=1e-14),
+                            trace_len=8)
+    tr = np.asarray(r.trace)
+    assert tr.shape == (8,) and np.all(tr[1:4] > 0)
+    r = lcg.solve_realified(op, b, method="bicg_sym",
+                            monitor=lambda x, res, t: t >= 3)
+    assert lcg.Status(int(r.status_code)) == lcg.Status.STOP
+    assert int(r.iterations) == 3
+
+
+def test_pairs_rejects_unknown_and_missing_M(complex_sym_small):
+    A, b, _ = complex_sym_small
+    op = lcg.DenseOperator(A)
+    with pytest.raises(ValueError, match="pair-complex"):
+        lcg.solve_realified(op, b, method="tfqmr")
+    r = lcg.solve_realified(op, b, method="pcg", M=None)
+    assert lcg.Status(int(r.status_code)) == lcg.Status.NULL_PRECONDITION_MATRIX
+
+
+# --- scattered-direct (Woodbury) --------------------------------------------
+
+
+def test_scattered_direct_exact_case10k(case_10k_complex):
+    sys_, answer = case_10k_complex
+    D = lcg.ScatteredDirectSolver(sys_.n, sys_.rows, sys_.cols, sys_.vals)
+    assert D.k == 198
+    r = D.solve(np.asarray(sys_.b))
+    md = float(np.max(np.abs(r.x - answer)))
+    assert md < 1e-10, md
+    assert lcg.Status(int(r.status_code)) == lcg.Status.CONVERGENCE
+
+
+def test_scattered_direct_real_random():
+    rng = np.random.default_rng(5)
+    n, k = 500, 24
+    diag = rng.uniform(2.0, 4.0, n)
+    J = rng.choice(n, size=k, replace=False)
+    pairs = [(J[i], J[j]) for i in range(k) for j in range(i + 1, k)
+             if rng.random() < 0.2]
+    rows = [p[0] for p in pairs] + [p[1] for p in pairs] + list(range(n))
+    cols = [p[1] for p in pairs] + [p[0] for p in pairs] + list(range(n))
+    vals = ([0.3] * (2 * len(pairs))) + list(diag)
+    A = np.zeros((n, n))
+    A[rows, cols] = 0.0
+    for r_, c_, v_ in zip(rows, cols, vals):
+        A[r_, c_] += v_
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    D = lcg.ScatteredDirectSolver(n, np.array(rows), np.array(cols),
+                                  np.array(vals))
+    res = D.solve(b)
+    np.testing.assert_allclose(res.x, x_true, atol=1e-10)
+
+
+def test_scattered_direct_guards():
+    # Missing diagonal -> ValueError; too many coupled -> ValueError.
+    with pytest.raises(ValueError, match="diagonal"):
+        lcg.ScatteredDirectSolver(3, [0, 1], [0, 1], [1.0, 1.0])
+    n = 64
+    rows = list(range(n)) + [i for i in range(n - 1)]
+    cols = list(range(n)) + [i + 1 for i in range(n - 1)]
+    vals = [2.0] * n + [0.5] * (n - 1)
+    with pytest.raises(ValueError, match="max_coupled"):
+        lcg.ScatteredDirectSolver(n, np.array(rows), np.array(cols),
+                                  np.array(vals), max_coupled=8)
+    assert lcg.try_scattered_direct(3, [0, 1], [0, 1], [1.0, 1.0]) is None
