@@ -616,6 +616,131 @@ def bench_complex1k():
             "ok": bool(res.converged and err < 1e-6)}
 
 
+def bench_case10kc():
+    """The reference's flagship complex workload on chip (VERDICT r3
+    missing #1): the shipped case_10K_cA (diagonal + 200 scattered
+    symmetric couplings, sample6.cpp:162-195).  Two paths measured:
+
+    - exact Woodbury direct solve (host, k=198 coupling block,
+      solvers/direct.py) — machine-precision answer, ~0.2 ms/solve;
+    - the reference's own Jacobi-PCG recurrence via the pair-complex
+      engines (solvers/cplx_pairs.py) running in pure real arithmetic
+      on the chip (this backend has no complex dtypes), device time by
+      chained slope.
+
+    Baseline: the reference binary's best complex-10K wall
+    (bicg_sym 66.8 ms, bench_baseline.json case_10K_complex — its own
+    Jacobi-PCG exists only in the Eigen backend, unavailable here).
+    The losing alternative (realified scan-DIA Jacobi-CGNR, 710 ms) is
+    recorded in profiling/probe_r4_case10kc.json, not re-measured."""
+    import liblcg_tpu as lcg
+    from liblcg_tpu.operators import realify, split_complex
+    from liblcg_tpu.solvers.cplx_pairs import PairJacobi, pcg_pairs
+    from liblcg_tpu.utils import io
+
+    path = f"{REFERENCE_DATA}/case_10K_cA"
+    if not os.path.exists(path):
+        return None
+    s = io.read_system(path, complex_values=True)
+    answer = io.read_answer(f"{REFERENCE_DATA}/case_10K_cB",
+                            complex_values=True)
+    n = s.n
+
+    # Exact direct (host Woodbury).
+    D = lcg.ScatteredDirectSolver(n, s.rows, s.cols, s.vals)
+    r0 = D.solve(np.asarray(s.b))
+    # Sub-ms host work on a co-tenanted CPU: min over many reps (one slow
+    # rep from scheduler noise would otherwise report 60x the true cost).
+    bb = np.asarray(s.b)
+    direct_wall = _best(lambda: D.solve(bb), reps=30, sync=lambda r: r.x)
+    direct_md = float(np.max(np.abs(r0.x - answer)))
+
+    # Pair-complex Jacobi-PCG on chip (sample6's method).
+    A = lcg.ScatteredOperator(n, s.rows, s.cols, s.vals)
+    R = realify(A)
+    bp = jnp.asarray(split_complex(np.asarray(s.b)))
+    Mj = PairJacobi.from_complex_diag(np.asarray(A.diagonal()))
+    p = lcg.SolverParams(epsilon=1e-6, abs_diff=1)
+    res = lcg.solve_realified(A, s.b, method="pcg", M="jacobi", params=p)
+    iters = int(res.iterations)
+    md = float(np.max(np.abs(res.x - answer)))
+    wall = _best(
+        lambda: lcg.solve_realified(A, s.b, method="pcg", M="jacobi",
+                                    params=p),
+        reps=3, sync=lambda r: r.x)
+
+    pfix = lcg.SolverParams(epsilon=1e-30, abs_diff=1, max_iterations=iters)
+
+    def one(bv):
+        return pcg_pairs(R, bv, M=Mj, params=pfix)["x"]
+
+    dev, _ = _slope(one, bp, K=8)
+    out = {"direct_wall_ms": direct_wall * 1e3, "direct_max_diff": direct_md,
+           "k_coupled": D.k,
+           "pairs_pcg_iterations": iters, "pairs_pcg_wall_ms": wall * 1e3,
+           "pairs_pcg_max_diff": md,
+           "ok": bool(res.converged and md < 0.1 and direct_md < 1e-10)}
+    if dev is not None:
+        out["pairs_pcg_device_ms"] = dev * 1e3
+    return out
+
+
+def bench_constrained():
+    """PG/SPG device time (VERDICT r3 missing #3): box-constrained
+    Laplacian 64^3 f64, solution inside [1, 2] (the sample1.cpp:110-113
+    recipe — a binding-constraint optimum can never satisfy the
+    reference's full-gradient stopping rule, lcg.cpp:1146).  Reports
+    iterations to eps=1e-8 abs_diff, SPG's Armijo backtrack count (each
+    an extra matvec, lcg.cpp:1377-1399), and fixed-work device slopes."""
+    import liblcg_tpu as lcg
+    from liblcg_tpu.solvers.real import pg as pg_engine
+    from liblcg_tpu.solvers.real import spg as spg_engine
+
+    g = 64
+    n = g ** 3
+    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    x_goal = rng.uniform(1.0, 2.0, n)
+    b = jnp.asarray(np.asarray(A.mv(jnp.asarray(x_goal))))
+    lo = jnp.full((n,), 1.0)
+    hi = jnp.full((n,), 2.0)
+    p = lcg.SolverParams(epsilon=1e-8, abs_diff=1, max_iterations=5000)
+
+    run_spg = jax.jit(lambda bv: spg_engine(A, bv, lower=lo, upper=hi,
+                                            params=p))
+    c = run_spg(b)
+    np.asarray(c["x"][:2])
+    t_spg, bt = int(c["t"]), int(c["bt"])
+    err = float(np.max(np.abs(np.asarray(c["x"]) - x_goal)))
+    run_pg = jax.jit(lambda bv: pg_engine(A, bv, lower=lo, upper=hi,
+                                          params=p))
+    c2 = run_pg(b)
+    np.asarray(c2["x"][:2])
+    t_pg = int(c2["t"])
+
+    iters = 64
+    pf = lcg.SolverParams(epsilon=1e-30, abs_diff=1, max_iterations=iters)
+
+    def one_pg(bv):
+        return pg_engine(A, bv, lower=lo, upper=hi, params=pf)["x"]
+
+    dev_pg, _ = _slope(one_pg, b, K=16)
+
+    def one_spg(bv):
+        return spg_engine(A, bv, lower=lo, upper=hi, params=pf)["x"]
+
+    dev_spg, _ = _slope(one_spg, b, K=16)
+    out = {"n": n, "pg_iterations": t_pg, "spg_iterations": t_spg,
+           "spg_backtracks_per_iter": round(bt / max(t_spg, 1), 2),
+           "ok": bool(int(c["status"]) == 0 and int(c2["status"]) == 0
+                      and err < 1e-2)}
+    if dev_pg is not None:
+        out["pg_us_per_iter"] = dev_pg * 1e6 / iters
+    if dev_spg is not None:
+        out["spg_us_per_iter"] = dev_spg * 1e6 / iters
+    return out
+
+
 def bench_sstep():
     """s-step CA-CG at the HBM-regime scale (PERFORMANCE.md "s-step CG"):
     fixed-96-iteration device slope at 256^3 f32 through the shipped
@@ -675,7 +800,9 @@ WORKLOADS = {
     "lap256": lambda: bench_laplacian(jnp.float32, grid=256),
     "complex": bench_complex_banded,
     "complex1k": bench_complex1k,
+    "case10kc": bench_case10kc,
     "lap32": lambda: bench_laplacian(jnp.float32, K=16),
+    "constrained": bench_constrained,
     "sstep": bench_sstep,   # last: a new-capability field must never
                             # push the reference-parity workloads past
                             # the budget (its own compile is cached)
@@ -1089,6 +1216,40 @@ def main():
         out["complex1k_wall_ms"] = round(cplx1k["wall_ms"], 2)
         out["complex1k_iterations"] = cplx1k["iterations"]
         out["complex1k_ok"] = cplx1k["ok"]
+    c10kc = _valid(r.get("case10kc"), "direct_wall_ms",
+                   "pairs_pcg_iterations", "ok")
+    if c10kc is not None:
+        c10kc_base = baseline.get("case_10K_complex", {}).get(
+            "best_ms", {}).get("bicg_sym")
+        out["case10kc_direct_wall_ms"] = round(c10kc["direct_wall_ms"], 3)
+        out["case10kc_direct_max_diff"] = f"{c10kc['direct_max_diff']:.1e}"
+        if c10kc_base:
+            out["case10kc_direct_vs_baseline"] = round(
+                c10kc_base / c10kc["direct_wall_ms"], 1)
+        out["case10kc_pairs_pcg_iterations"] = c10kc["pairs_pcg_iterations"]
+        out["case10kc_pairs_pcg_wall_ms"] = round(
+            c10kc["pairs_pcg_wall_ms"], 2)
+        if "pairs_pcg_device_ms" in c10kc:
+            out["case10kc_pairs_pcg_device_ms"] = round(
+                c10kc["pairs_pcg_device_ms"], 2)
+            if c10kc_base:
+                out["case10kc_pairs_vs_baseline"] = round(
+                    c10kc_base / c10kc["pairs_pcg_device_ms"], 2)
+        out["case10kc_ok"] = c10kc["ok"]
+    constr = _valid(r.get("constrained"), "pg_iterations",
+                    "spg_iterations", "ok")
+    if constr is not None:
+        out["constrained_pg_iterations"] = constr["pg_iterations"]
+        out["constrained_spg_iterations"] = constr["spg_iterations"]
+        out["constrained_spg_backtracks_per_iter"] = constr[
+            "spg_backtracks_per_iter"]
+        if "pg_us_per_iter" in constr:
+            out["constrained_pg_us_per_iter"] = round(
+                constr["pg_us_per_iter"], 1)
+        if "spg_us_per_iter" in constr:
+            out["constrained_spg_us_per_iter"] = round(
+                constr["spg_us_per_iter"], 1)
+        out["constrained_ok"] = constr["ok"]
     if stale:
         out["stale_fields_from_prior_run"] = stale
     print(json.dumps(out))

