@@ -730,6 +730,82 @@ def _solve_block(A, B, X0, m, *, params, M, monitor, is_complex, check):
     return result
 
 
+def _solve_cacg_batched(A, B, X0, *, params, M, monitor, trace_len,
+                        lmin, lmax, s, check):
+    """Multi-RHS s-step CA-CG: ``jax.vmap`` over the single-system engine.
+
+    ca_cg freezes converged/stalled systems through per-system masks
+    inside its coefficient blocks (``alive``/``accept`` selects), so the
+    vmapped while_loop — which keeps stepping every lane until all lanes'
+    conditions fail — leaves finished systems EXACTLY frozen: per-system
+    iteration counts and iterates match the one-at-a-time path.  The
+    Pallas steppers are single-system (grid semantics don't batch), so
+    the vmapped path always uses the XLA basis; multi-RHS amortizes the
+    basis products instead.  ``M``: a JacobiPreconditioner composes by
+    symmetric scaling, exactly as in :func:`_solve_cacg_jacobi`.
+    """
+    from .operators import SymScaledOperator
+
+    s_vec = None
+    if M is not None:
+        from .precond.jacobi import JacobiPreconditioner
+
+        if not isinstance(M, JacobiPreconditioner):
+            raise ValueError(
+                "method 'cacg' supports diagonal (Jacobi) preconditioning "
+                f"only; got {type(M).__name__}"
+            )
+        s_vec = jnp.sqrt(M.inv_diag.astype(B.dtype))
+        A = SymScaledOperator(s_vec, A)
+        B = B * s_vec[None, :]
+        if X0 is not None:
+            X0 = jnp.asarray(X0, B.dtype) / s_vec[None, :]
+        if lmax is None:
+            from .ops.spectra import power_bound
+
+            lmax = power_bound(A)
+        if lmin is None:
+            lmin = 0.0
+    err = params.validate(for_method="cacg")
+    if err is not None:
+        return _error_result(B if X0 is None else X0, err)
+    fn, _, _ = _resolve_engine("cacg", False, A=A, lmin=lmin, lmax=lmax,
+                               s=s, pallas="never")
+    X0_arr = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, B.dtype)
+
+    cache_key = ("cacg_batched", fn, params, monitor, trace_len,
+                 int(B.shape[0]))
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is None:
+        def run(A_t, B_t, X0_t):
+            def one(b1, x01):
+                return fn(A_t, b1, x01, params=params, monitor=monitor,
+                          trace_len=trace_len)
+
+            return jax.vmap(one, in_axes=(0, 0))(B_t, X0_t)
+
+        jitted = jax.jit(run)
+        _JIT_CACHE[cache_key] = jitted
+
+    carry = jitted(A, B, X0_arr)
+    x = carry["x"]
+    if s_vec is not None:
+        x = x * s_vec[None, :]
+    result = SolveResult(
+        x=x,
+        status_code=carry["status"],
+        iterations=carry["t"],
+        residual=carry["residual"],
+        trace=carry.get("trace"),
+    )
+    if check:
+        from .utils.errors import check_status
+
+        for st in np.asarray(result.status_code):
+            check_status(st, raise_error=True, quiet=True)
+    return result
+
+
 def solve_batched(
     A: Union[LinearOperator, jnp.ndarray, Callable],
     B,
@@ -746,6 +822,7 @@ def solve_batched(
     lmin=None,
     lmax=None,
     restart: int = 32,
+    s: int = 4,
     check: bool = False,
     pallas: str = "auto",
 ) -> SolveResult:
@@ -766,6 +843,15 @@ def solve_batched(
     from .solvers import harness as H
 
     m = canonical_method(method)
+    if m == "cacg":
+        B = jnp.asarray(B)
+        if B.ndim != 2:
+            raise ValueError(f"B must be (nrhs, n), got shape {B.shape}")
+        A = aslinearoperator(A, n=B.shape[1], dtype=B.dtype) if not isinstance(
+            A, LinearOperator) else A
+        return _solve_cacg_batched(
+            A, B, X0, params=params, M=M, monitor=monitor,
+            trace_len=trace_len, lmin=lmin, lmax=lmax, s=s, check=check)
     if m not in BATCHED_METHODS:
         raise ValueError(
             f"method {m!r} does not support batched solves; available: "

@@ -134,6 +134,14 @@ def xla_basis_gram(A, p, r, x, *, s: int, abc, reduce_dtype=None):
     (here one (2s+1, n) array), G = V V^T, w = V x, xx = ||x||^2.
     psum-reduced when tracing inside a ``harness.distributed`` context
     (one collective per outer step).
+
+    KNOWN LIMIT (measured, probe_r4_cacg_envelope.json): at large n on
+    this TPU the HIGHEST-precision Gram contraction materializes its
+    3-way bf16 operand splits in HBM (CLAUDE.md) — 20.5 ms/iter at 192^3
+    where classic CG costs 0.85.  Operators that reach this fallback at
+    HBM scale (variable-coefficient stencils, wide DIA) should use
+    classic CG / PCG instead; the Pallas routes avoid the contraction
+    entirely (SMEM moment dots).
     """
     m = 2 * s + 1
     n = p.shape[0]
@@ -227,8 +235,10 @@ def ca_cg(
     """
     if H.batch_active():
         raise NotImplementedError(
-            "ca_cg is single-system; use solve_batched(method='cg') or "
-            "block_cg for multi-RHS stacks"
+            "ca_cg does not run under the stacked batched harness; "
+            "solve_batched(method='cacg') dispatches a vmapped form "
+            "(solve._solve_cacg_batched) with identical per-system "
+            "semantics"
         )
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")

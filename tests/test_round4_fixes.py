@@ -112,6 +112,53 @@ def test_sharded_batched_trace(spd):
                                np.asarray(single.trace[:ti]), rtol=1e-5)
 
 
+def test_batched_cacg_matches_single():
+    """solve_batched(method='cacg') vmaps the single-system engine; the
+    per-system masks must keep finished systems frozen, so counts and
+    iterates match one-at-a-time solves exactly (VERDICT r4 #5)."""
+    import liblcg_tpu as lcg
+
+    g = 16
+    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float32)
+    n = g ** 3
+    rng = np.random.default_rng(0)
+    X_true = rng.uniform(1, 2, (3, n)).astype(np.float32)
+    B = np.stack([np.asarray(A.mv(jnp.asarray(x))) for x in X_true])
+    p = lcg.SolverParams(epsilon=1e-10)
+    res = lcg.solve_batched(A, B, method="cacg", s=3, lmin=0.0, lmax=12.0,
+                            params=p, trace_len=8)
+    assert res.trace is not None and res.trace.shape == (3, 8)
+    for i in range(3):
+        single = lcg.solve(A, jnp.asarray(B[i]), method="cacg", s=3,
+                           lmin=0.0, lmax=12.0, params=p, pallas="never")
+        assert int(res.iterations[i]) == int(single.iterations)
+        assert lcg.Status(int(res.status_code[i])) == lcg.Status.CONVERGENCE
+        np.testing.assert_allclose(np.asarray(res.x[i]), X_true[i],
+                                   atol=5e-3)
+
+
+def test_batched_cacg_jacobi():
+    import liblcg_tpu as lcg
+
+    g = 16
+    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float32)
+    n = g ** 3
+    rng = np.random.default_rng(1)
+    X_true = rng.uniform(1, 2, (2, n)).astype(np.float32)
+    B = np.stack([np.asarray(A.mv(jnp.asarray(x))) for x in X_true])
+    res = lcg.solve_batched(A, B, method="cacg", s=3,
+                            M=lcg.JacobiPreconditioner(A),
+                            params=lcg.SolverParams(epsilon=1e-10))
+    assert all(int(s_) == 0 for s_ in np.asarray(res.status_code))
+    np.testing.assert_allclose(np.asarray(res.x), X_true, atol=5e-3)
+    with pytest.raises(ValueError, match="Jacobi"):
+        lcg.solve_batched(A, B, method="cacg",
+                          M=lcg.SSORPreconditioner(
+                              lcg.make_sparse_operator(
+                                  n, n, np.arange(n), np.arange(n),
+                                  np.full(n, 6.0))))
+
+
 def test_block_solve_trace_raises(spd):
     A, B, _ = spd
     with pytest.raises(ValueError, match="block"):
