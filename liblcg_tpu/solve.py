@@ -214,6 +214,35 @@ def _resolve_engine(m: str, is_complex: bool, A=None, lmin=None, lmax=None,
 
 _JIT_CACHE: dict = {}
 
+_COMPLEX_OK: dict = {}
+
+
+def _check_complex_backend():
+    """Fail FAST with routing guidance when the default backend has no
+    complex dtypes (this TPU raises a deferred, cryptic ``UNIMPLEMENTED:
+    TPU backend error`` only when the result is materialized).  Probed
+    once per backend with a tiny dispatch and cached."""
+    plat = jax.default_backend()
+    ok = _COMPLEX_OK.get(plat)
+    if ok is None:
+        try:
+            np.asarray(jnp.asarray(1.0 + 1.0j) * 1.0)
+            ok = True
+        except Exception:
+            ok = False
+        _COMPLEX_OK[plat] = ok
+    if not ok:
+        raise ValueError(
+            f"complex dtypes are unsupported on the {plat!r} backend "
+            f"(materialization raises UNIMPLEMENTED).  Route complex "
+            f"systems through real arithmetic instead: "
+            f"lcg.solve_realified(A, b, method=...) runs the complex "
+            f"engines in [re; im]-pair form; diagonal-plus-scattered "
+            f"patterns have the exact lcg.ScatteredDirectSolver; banded "
+            f"systems can use realify_coo + DIA (see PARITY.md's "
+            f"complex-on-TPU decision tree)."
+        )
+
 
 def _compiled_solver(
     fn, params, monitor, trace_len, needs_M, needs_bounds, takes_key,
@@ -483,6 +512,8 @@ def solve(
     is_complex = jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
+    if is_complex:
+        _check_complex_backend()
     if m == "cacg" and M is not None:
         return _solve_cacg_jacobi(
             A, b, x0, M=M, params=params, monitor=monitor,
@@ -871,6 +902,8 @@ def solve_batched(
     is_complex = jnp.issubdtype(B.dtype, jnp.complexfloating) or jnp.issubdtype(
         jnp.dtype(A.dtype), jnp.complexfloating
     )
+    if is_complex:
+        _check_complex_backend()
     if m in _BLOCK_METHODS:
         if trace_len > 0:
             raise ValueError(

@@ -407,6 +407,21 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
         )
     fn, needs_M = _PAIR_ENGINES[m]
 
+    b_np = np.asarray(b)
+    if (np.iscomplexobj(b_np) and b_np.dtype == np.complex128
+            and not jax.config.jax_enable_x64):
+        import warnings
+
+        warnings.warn(
+            "solve_realified: complex128 input with jax_enable_x64 OFF — "
+            "the pair arithmetic silently truncates to float32, and "
+            "ill-conditioned systems then need many times the reference's "
+            "iteration count (measured: 366 -> 2203 on case_10K_cA).  "
+            "Call jax.config.update('jax_enable_x64', True) for "
+            "double-precision parity (f64 is emulated but correct on "
+            "this TPU).",
+            stacklevel=2,
+        )
     if isinstance(A, RealifiedOperator):
         R = A
         diag_c = None

@@ -128,6 +128,54 @@ def test_scattered_direct_real_random():
     np.testing.assert_allclose(res.x, x_true, atol=1e-10)
 
 
+def test_pairs_warns_without_x64(complex_sym_small):
+    """complex128 input with x64 off silently truncates the pair
+    arithmetic to f32 (measured 6x iteration blowup on case_10K_cA) —
+    solve_realified must warn."""
+    import jax
+
+    A, b, _ = complex_sym_small
+    op = lcg.DenseOperator(A)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.warns(UserWarning, match="x64"):
+            lcg.solve_realified(op, b, method="bicg_sym",
+                                params=lcg.SolverParams(epsilon=1e-6))
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_complex_backend_guard_message():
+    """When the backend probe says complex is unsupported, solve() must
+    fail fast with routing guidance (on the real TPU this is live; here
+    the cached probe result is forced)."""
+    import jax
+
+    import importlib
+
+    # liblcg_tpu.solve the MODULE (the package attribute `solve` is the
+    # function and shadows it under `import ... as`).
+    solve_mod = importlib.import_module("liblcg_tpu.solve")
+
+    plat = jax.default_backend()
+    old = solve_mod._COMPLEX_OK.get(plat)
+    solve_mod._COMPLEX_OK[plat] = False
+    try:
+        A = np.eye(4) * (2 + 1j)
+        b = np.ones(4) + 1j * np.ones(4)
+        with pytest.raises(ValueError, match="solve_realified"):
+            lcg.solve(lcg.DenseOperator(A), jnp.asarray(b),
+                      method="bicg_sym")
+        with pytest.raises(ValueError, match="solve_realified"):
+            lcg.solve_batched(lcg.DenseOperator(A), jnp.stack(
+                [jnp.asarray(b)] * 2), method="bicg_sym")
+    finally:
+        if old is None:
+            solve_mod._COMPLEX_OK.pop(plat, None)
+        else:
+            solve_mod._COMPLEX_OK[plat] = old
+
+
 def test_scattered_direct_guards():
     # Missing diagonal -> ValueError; too many coupled -> ValueError.
     with pytest.raises(ValueError, match="diagonal"):
