@@ -77,6 +77,7 @@ from .solve import (
     lcg_solver_preconditioned,
     solve,
     solve_batched,
+    solve_sequence,
 )
 from .solvers.refine import solve_refined, solve_refined_batched
 from .solvers.cplx_pairs import PairJacobi, solve_realified
@@ -141,6 +142,7 @@ __all__ = [
     "ScatteredDirectSolver",
     "try_scattered_direct",
     "solve_batched",
+    "solve_sequence",
     "BATCHED_METHODS",
     "BLOCK_METHODS",
     "lcg_solver",

@@ -21,6 +21,7 @@ from typing import Callable, Optional, Union
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .operators import LinearOperator, aslinearoperator
 from .solvers import cplx as _cplx
@@ -1023,6 +1024,128 @@ def solve_batched(
 
         for s in np.asarray(result.status_code):
             check_status(s, raise_error=True, quiet=True)
+    return result
+
+
+def solve_sequence(
+    A: Union[LinearOperator, jnp.ndarray, Callable],
+    b0,
+    next_b: Callable,
+    num_steps: int,
+    *,
+    method: str = "cg",
+    params: SolverParams = DEFAULT_PARAMS,
+    M=None,
+    x0=None,
+    warm_start: bool = True,
+    keep_solutions: bool = True,
+    lmin=None,
+    lmax=None,
+    restart: int = 32,
+    s: int = 4,
+    check: bool = False,
+) -> SolveResult:
+    """Solve a chain of DEPENDENT systems ``A x_k = b_k`` in ONE dispatch.
+
+    ``b_0 = b0`` and ``b_{k+1} = next_b(x_k, k)`` (a traced function of
+    the previous solution) — the implicit time-stepping / nonlinear
+    outer-loop pattern, e.g. backward-Euler diffusion
+    ``(I + dt·A) x_{k+1} = x_k`` with ``next_b = lambda x, k: x``.
+
+    Why this exists as an API and not deployment advice: sequential
+    dependent solves cannot be batched, so calling :func:`solve` K times
+    pays K per-dispatch round trips (~32 ms each through this rig's
+    tunnel — 3× the whole device time of a case_10K solve per call).
+    Here the entire chain is one ``lax.scan`` of compiled while-loop
+    solves: ONE dispatch, K·device-time total (measured: 50 chained
+    case_10K solves in ~1 wall dispatch vs 50).  With ``warm_start``
+    each solve starts from the previous solution (the reference's in/out
+    ``m`` contract, lcg.h:61, applied across the chain).
+
+    Returns a SolveResult whose leaves carry a leading ``num_steps``
+    axis: ``x`` is (num_steps, n) when ``keep_solutions`` else the final
+    (n,); ``status``/``iterations``/``residual`` are per-step
+    (num_steps,).  Real-domain methods (plus cacg/chebyshev/gmres/
+    minres); box-constrained PG/SPG and the random-shadow complex
+    engines are excluded.
+    """
+    m = canonical_method(method)
+    b0 = jnp.asarray(b0)
+    A = aslinearoperator(A, n=b0.shape[0], dtype=b0.dtype) if not isinstance(
+        A, LinearOperator
+    ) else A
+    is_complex = jnp.issubdtype(b0.dtype, jnp.complexfloating) or \
+        jnp.issubdtype(jnp.dtype(A.dtype), jnp.complexfloating)
+    if is_complex:
+        _check_complex_backend()
+    if m in _BLOCK_METHODS or m in ("pg", "spg"):
+        raise ValueError(
+            f"solve_sequence supports the unconstrained single-RHS "
+            f"methods; got {m!r}"
+        )
+    fn, needs_M, needs_bounds = _resolve_engine(
+        m, is_complex, A=A, lmin=lmin, lmax=lmax, restart=restart, s=s,
+        pallas="never")
+    if is_complex and m in ("cgs", "bicgstab", "tfqmr"):
+        raise ValueError(
+            f"complex {m!r} draws a random shadow residual per solve; use "
+            f"bicg/bicg_sym/pcg/pbicg in a sequence"
+        )
+    err = params.validate(for_method=m)
+    if err is not None:
+        return _error_result(b0, err)
+    if M is not None and not needs_M:
+        raise ValueError(
+            f"method {m!r} does not use a preconditioner; M would be "
+            f"silently ignored.  Use the preconditioned variant "
+            f"({_PRECONDITIONED_OF.get(m, 'pcg')!r}) or drop M."
+        )
+    if needs_M and M is None:
+        return _error_result(b0, Status.NULL_PRECONDITION_MATRIX)
+
+    M_static = needs_M and not isinstance(M, LinearOperator)
+    num_steps = int(num_steps)
+    x0_arr = jnp.zeros_like(b0) if x0 is None else jnp.asarray(x0, b0.dtype)
+
+    cache_key = ("sequence", fn, params, next_b, num_steps, needs_M,
+                 M if M_static else None, bool(warm_start),
+                 bool(keep_solutions))
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is None:
+        def run(A_t, b0_t, x0_t, *extras):
+            from .solvers import harness as H
+
+            kwargs = dict(params=params)
+            if needs_M:
+                kwargs["M"] = M if M_static else extras[0]
+
+            def step(carry, k):
+                x_prev, b_k = carry
+                with H.reduction_dtype(params.reduce_dtype):
+                    c = fn(A_t, b_k, x_prev if warm_start else x0_t,
+                           **kwargs)
+                x_k = c["x"]
+                b_next = jnp.asarray(next_b(x_k, k), b_k.dtype)
+                outs = (x_k if keep_solutions else (),
+                        c["status"], c["t"], c["residual"])
+                return (x_k, b_next), outs
+
+            (x_last, _), (xs, status, t, res) = lax.scan(
+                step, (x0_t, b0_t), jnp.arange(num_steps))
+            return (xs if keep_solutions else x_last), status, t, res
+
+        jitted = jax.jit(run)
+        _JIT_CACHE[cache_key] = jitted
+
+    extras = [] if (not needs_M or M_static) else [M]
+    xs, status, t, res = jitted(A, b0, x0_arr, *extras)
+    result = SolveResult(x=xs, status_code=status, iterations=t,
+                         residual=res, trace=None)
+    if check:
+        from .utils.errors import check_status
+
+        for st in np.asarray(status):
+            check_status(st, raise_error=True, quiet=True)
     return result
 
 

@@ -159,6 +159,52 @@ def test_batched_cacg_jacobi():
                                   np.full(n, 6.0))))
 
 
+def test_solve_sequence_matches_manual_chain(spd):
+    """solve_sequence chains K dependent warm-started solves in one
+    dispatch; iterates must match K manual solve() calls exactly."""
+    import liblcg_tpu as lcg
+
+    A, B, _ = spd
+    op = lcg.DenseOperator(A)
+    b0 = B[0]
+    K = 4
+    seq = lcg.solve_sequence(op, b0, lambda x, k: x / jnp.sqrt(
+        jnp.sum(x * x)), K, method="cg", params=PARAMS)
+    assert seq.x.shape == (K, A.shape[0])
+    x_prev = np.zeros(A.shape[0])
+    b = np.asarray(b0)
+    for k in range(K):
+        r = lcg.solve(op, jnp.asarray(b), x0=jnp.asarray(x_prev),
+                      method="cg", params=PARAMS, pallas="never")
+        # Inside lax.scan XLA fuses the dense matvec differently, so the
+        # two trajectories converge (to the shared tolerance) along
+        # slightly different paths — agreement is at the eps-implied
+        # solution accuracy, not bitwise.
+        np.testing.assert_allclose(np.asarray(seq.x[k]), np.asarray(r.x),
+                                   rtol=1e-4, atol=1e-6)
+        assert abs(int(seq.iterations[k]) - int(r.iterations)) <= 2
+        x_prev = np.asarray(r.x)
+        b = x_prev / np.linalg.norm(x_prev)
+
+
+def test_solve_sequence_options(spd):
+    import liblcg_tpu as lcg
+
+    A, B, _ = spd
+    op = lcg.DenseOperator(A)
+    # keep_solutions=False returns only the final x; preconditioned form.
+    M = lcg.JacobiPreconditioner(op)
+    seq = lcg.solve_sequence(op, B[0], lambda x, k: x, 3, method="pcg",
+                             M=M, params=PARAMS, keep_solutions=False)
+    assert seq.x.shape == (A.shape[0],)
+    assert seq.status_code.shape == (3,)
+    # guards
+    with pytest.raises(ValueError, match="unconstrained"):
+        lcg.solve_sequence(op, B[0], lambda x, k: x, 2, method="spg")
+    with pytest.raises(ValueError, match="preconditioner"):
+        lcg.solve_sequence(op, B[0], lambda x, k: x, 2, method="cg", M=M)
+
+
 def test_block_solve_trace_raises(spd):
     A, B, _ = spd
     with pytest.raises(ValueError, match="block"):
