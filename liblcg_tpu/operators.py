@@ -474,12 +474,35 @@ def make_sparse_operator(
 ) -> LinearOperator:
     """Build the best sparse operator for the given pattern.
 
-    ``format="auto"`` picks DIA when the nonzeros occupy at most
-    ``max_diagonals`` distinct diagonals *and* DIA storage is not wildly
-    larger than ELL (fill ratio check); otherwise padded ELL.
+    ``format="auto"`` picks, in order:
+
+    - ``ScatteredOperator`` for diagonal-plus-few-couplings patterns
+      (full diagonal present; off-diagonals at most 5% of n): the
+      diag+scatter product beats both a one-giant-gather ELL and a
+      mostly-empty DIA there (the shipped case_10K_cA shape — and the
+      only form whose realified product is chip-fast, PARITY.md);
+    - DIA when the nonzeros occupy at most ``max_diagonals`` distinct
+      diagonals *and* DIA storage is not wildly larger than ELL;
+    - padded ELL otherwise.
+
+    Explicit: ``format="scattered" | "dia" | "ell"``.
     """
-    if format not in ("auto", "dia", "ell"):
+    if format not in ("auto", "dia", "ell", "scattered"):
         raise ValueError(f"unknown sparse format {format!r}")
+    if format in ("auto", "scattered") and n_rows == n_cols:
+        rows_a = np.asarray(rows)
+        cols_a = np.asarray(cols)
+        n_off = int(np.count_nonzero(rows_a != cols_a))
+        diag_full = (len(rows_a) - n_off) >= n_rows
+        if format == "scattered" or (diag_full and n_off <= 0.05 * n_rows):
+            try:
+                return ScatteredOperator(n_rows, rows, cols, vals,
+                                         dtype=kw.get("dtype"))
+            except ValueError:
+                if format == "scattered":
+                    raise
+                # duplicate-diagonal accounting fooled the heuristic;
+                # fall through to DIA/ELL.
     if format in ("auto", "dia"):
         off = np.asarray(cols, dtype=np.int64) - np.asarray(rows, dtype=np.int64)
         n_diags = len(np.unique(off))

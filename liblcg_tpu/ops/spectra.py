@@ -56,6 +56,11 @@ def gershgorin_bounds(A) -> Tuple[float, float]:
     elif isinstance(A, SparseOperator) or hasattr(A, "ell_vals"):
         diag = np.asarray(A.diagonal())
         off = np.sum(np.abs(np.asarray(A.ell_vals)), axis=1)[: len(diag)] - np.abs(diag)
+    elif hasattr(A, "off_rows"):                # ScatteredOperator
+        diag = np.asarray(A.diag)
+        off = np.zeros(len(diag))
+        np.add.at(off, np.asarray(A.off_rows),
+                  np.abs(np.asarray(A.off_vals)))
     elif isinstance(A, DenseOperator) or hasattr(A, "A"):
         M = np.asarray(A.A if hasattr(A, "A") else A)
         diag = np.diagonal(M)

@@ -159,6 +159,43 @@ def test_batched_cacg_jacobi():
                                   np.full(n, 6.0))))
 
 
+def test_make_sparse_operator_auto_scattered():
+    """Diagonal-plus-few-couplings patterns auto-route to
+    ScatteredOperator (and stay DIA/ELL otherwise)."""
+    import liblcg_tpu as lcg
+
+    n = 1000
+    rng = np.random.default_rng(2)
+    J = rng.choice(n, size=8, replace=False)
+    rows = np.concatenate([np.arange(n), J[:4], J[4:]])
+    cols = np.concatenate([np.arange(n), J[4:], J[:4]])
+    vals = np.concatenate([np.full(n, 4.0), np.full(8, 0.5)])
+    A = lcg.make_sparse_operator(n, n, rows, cols, vals)
+    assert isinstance(A, lcg.ScatteredOperator)
+    # solve through it + gershgorin-backed chebyshev
+    x_true = rng.uniform(1, 2, n)
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+    b = dense @ x_true
+    r = lcg.solve(A, jnp.asarray(b), method="cg",
+                  params=lcg.SolverParams(epsilon=1e-14), pallas="never")
+    np.testing.assert_allclose(np.asarray(r.x), x_true, atol=1e-5)
+    r2 = lcg.solve(A, jnp.asarray(b), method="chebyshev",
+                   params=lcg.SolverParams(epsilon=1e-14,
+                                           max_iterations=3000))
+    np.testing.assert_allclose(np.asarray(r2.x), x_true, atol=1e-4)
+    # a tridiagonal pattern must keep DIA (off-diagonals ~2n >> 5% n)
+    r3 = np.concatenate([np.arange(n), np.arange(n - 1)])
+    c3 = np.concatenate([np.arange(n), np.arange(1, n)])
+    v3 = np.concatenate([np.full(n, 2.0), np.full(n - 1, -1.0)])
+    assert isinstance(lcg.make_sparse_operator(n, n, r3, c3, v3),
+                      lcg.BandedOperator)
+    # explicit scattered on a diagonal-missing pattern raises
+    with pytest.raises(ValueError, match="diagonal"):
+        lcg.make_sparse_operator(4, 4, [0, 1], [0, 1], [1.0, 1.0],
+                                 format="scattered")
+
+
 def test_solve_sequence_matches_manual_chain(spd):
     """solve_sequence chains K dependent warm-started solves in one
     dispatch; iterates must match K manual solve() calls exactly."""
