@@ -489,6 +489,11 @@ def make_sparse_operator(
     """
     if format not in ("auto", "dia", "ell", "scattered"):
         raise ValueError(f"unknown sparse format {format!r}")
+    if format == "scattered" and n_rows != n_cols:
+        raise ValueError(
+            f"format='scattered' needs a square matrix (diagonal + "
+            f"couplings); got {n_rows}x{n_cols}"
+        )
     if format in ("auto", "scattered") and n_rows == n_cols:
         rows_a = np.asarray(rows)
         cols_a = np.asarray(cols)
@@ -883,30 +888,31 @@ class RealifiedOperator(LinearOperator):
                 part.diag_vals = jnp.asarray(v.astype(rdt))
                 part.nnz = A.nnz
         elif isinstance(A, ScatteredOperator):
-            # Keep the diag-plus-scatter product shape: realified re/im
-            # parts are themselves diagonal + scattered (the im diagonal
-            # may be zero-valued, which costs nothing).
+            # Keep the diag-plus-scatter product shape.  Both parts are
+            # built WITHOUT the constructor: its scattered_split validity
+            # check (every diagonal nonzero) belongs to the direct
+            # solver, not to this product form — a complex matrix with a
+            # purely imaginary diagonal entry has a zero REAL diagonal
+            # there and the realified product is still well-defined.
             n0 = A.shape[0]
             d = np.asarray(A.diag)
             orow = np.asarray(A.off_rows)
             ocol = np.asarray(A.off_cols)
             oval = np.asarray(A.off_vals)
-            base = np.arange(n0)
-            self.re = ScatteredOperator(
-                n0, np.concatenate([base, orow]),
-                np.concatenate([base, ocol]),
-                np.concatenate([d.real, oval.real]).astype(rdt))
-            # The imaginary part usually has zero diagonals; inject an
-            # explicit zero diagonal so scattered_split accepts it, then
-            # overwrite with the true imaginary diagonal.
-            self.im = object.__new__(ScatteredOperator)
-            self.im.shape = (n0, n0)
-            self.im.dtype = jnp.dtype(rdt)
-            self.im.diag = jnp.asarray(d.imag.astype(rdt))
-            self.im.off_rows = jnp.asarray(orow, jnp.int32)
-            self.im.off_cols = jnp.asarray(ocol, jnp.int32)
-            self.im.off_vals = jnp.asarray(oval.imag.astype(rdt))
-            self.im.nnz = A.nnz
+            for part, dv, ov in ((0, d.real, oval.real),
+                                 (1, d.imag, oval.imag)):
+                obj = object.__new__(ScatteredOperator)
+                obj.shape = (n0, n0)
+                obj.dtype = jnp.dtype(rdt)
+                obj.diag = jnp.asarray(dv.astype(rdt))
+                obj.off_rows = jnp.asarray(orow, jnp.int32)
+                obj.off_cols = jnp.asarray(ocol, jnp.int32)
+                obj.off_vals = jnp.asarray(ov.astype(rdt))
+                obj.nnz = A.nnz
+                if part == 0:
+                    self.re = obj
+                else:
+                    self.im = obj
         elif isinstance(A, SparseOperator):
             cols = np.asarray(A.ell_cols)
             vals = np.asarray(A.ell_vals)

@@ -778,6 +778,15 @@ def _solve_cacg_batched(A, B, X0, *, params, M, monitor, trace_len,
     """
     from .operators import SymScaledOperator
 
+    # Same domain checks as solve(): cacg is real-SPD, and complex input
+    # must fail fast (not run the real engine into NaN, nor hit the
+    # deferred UNIMPLEMENTED on complex-less backends).
+    if jnp.issubdtype(B.dtype, jnp.complexfloating) or jnp.issubdtype(
+            jnp.dtype(A.dtype), jnp.complexfloating):
+        _check_complex_backend()
+        raise ValueError("cacg is real-domain (SPD systems); realify "
+                         "complex operators first")
+
     s_vec = None
     if M is not None:
         from .precond.jacobi import JacobiPreconditioner
@@ -805,13 +814,23 @@ def _solve_cacg_batched(A, B, X0, *, params, M, monitor, trace_len,
                                s=s, pallas="never")
     X0_arr = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, B.dtype)
 
+    scaled = s_vec is not None
     cache_key = ("cacg_batched", fn, params, monitor, trace_len,
-                 int(B.shape[0]))
+                 int(B.shape[0]), scaled)
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is None:
-        def run(A_t, B_t, X0_t):
+        # s_vec travels as a TRACED argument (when present): baking it
+        # into a monitor closure would let a cache hit reuse a previous
+        # preconditioner's scaling.
+        def run(A_t, B_t, X0_t, *sv):
+            # The user's monitor sees the PHYSICAL iterate x = S x-hat,
+            # as in the single-RHS Jacobi path (_solve_cacg_jacobi).
+            mon = monitor
+            if monitor is not None and scaled:
+                mon = lambda xh, r_, t_: monitor(sv[0] * xh, r_, t_)  # noqa: E731
+
             def one(b1, x01):
-                return fn(A_t, b1, x01, params=params, monitor=monitor,
+                return fn(A_t, b1, x01, params=params, monitor=mon,
                           trace_len=trace_len)
 
             return jax.vmap(one, in_axes=(0, 0))(B_t, X0_t)
@@ -819,7 +838,7 @@ def _solve_cacg_batched(A, B, X0, *, params, M, monitor, trace_len,
         jitted = jax.jit(run)
         _JIT_CACHE[cache_key] = jitted
 
-    carry = jitted(A, B, X0_arr)
+    carry = jitted(A, B, X0_arr, *((s_vec,) if scaled else ()))
     x = carry["x"]
     if s_vec is not None:
         x = x * s_vec[None, :]

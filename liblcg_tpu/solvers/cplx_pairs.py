@@ -76,11 +76,17 @@ def pair_sq_norm(a):
 def fused_sums(*rows):
     """Many independent sum-reductions in ONE launch: stack the (n,)
     summand arrays and reduce along the trailing axis (psum'd when
-    distributed).  On this chip every tiny f64-emulated reduction lowers
-    to its own ~49 us sequential while-op (CLAUDE.md), so an engine step
-    that needs 6 scalars pays 6 launches unfused but 1-2 fused — the
-    dominant cost of the pair engines at n=10K."""
-    s = jnp.sum(jnp.stack(rows), axis=-1)
+    distributed; accumulated in the harness's active reduction dtype —
+    ``SolverParams.reduce_dtype`` — and cast back, like H._reduce_sum).
+    On this chip every tiny f64-emulated reduction lowers to its own
+    ~49 us sequential while-op (CLAUDE.md), so an engine step that needs
+    6 scalars pays 6 launches unfused but 1-2 fused — the dominant cost
+    of the pair engines at n=10K."""
+    stacked = jnp.stack(rows)
+    acc = H._acc_dtype(stacked.dtype)
+    s = jnp.sum(stacked, axis=-1, dtype=acc)
+    if acc is not None:
+        s = s.astype(stacked.dtype)
     ax = H.dist_axis()
     if ax is not None:
         from jax import lax
@@ -438,8 +444,10 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
 
     err = params.validate(for_method=m)
     if err is not None:
+        # x stays HOST numpy: a complex device array is a deferred
+        # UNIMPLEMENTED bomb on the very backends this API serves.
         return SolveResult(
-            x=jnp.asarray(np.zeros_like(b)),
+            x=np.zeros_like(b),
             status_code=jnp.asarray(int(err), jnp.int32),
             iterations=jnp.asarray(0, jnp.int32),
             residual=jnp.asarray(jnp.nan), trace=None)
@@ -447,7 +455,7 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
     if needs_M:
         if M is None:
             return SolveResult(
-                x=jnp.asarray(np.zeros_like(b)),
+                x=np.zeros_like(b),
                 status_code=jnp.asarray(
                     int(Status.NULL_PRECONDITION_MATRIX), jnp.int32),
                 iterations=jnp.asarray(0, jnp.int32),
@@ -463,9 +471,19 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
             M = PairJacobi.from_complex_diag(np.asarray(M))
 
     M_traced = needs_M and isinstance(M, PairJacobi)
+    # PRNG keys are jax arrays (unhashable) — hash their bytes; the key
+    # itself is closed over in `run` below, so a different key value is
+    # a different cache entry with the right constant baked in.
+    if m != "cgs" or key is None:
+        key_id = None
+    else:
+        try:
+            key_id = np.asarray(key).tobytes()
+        except TypeError:  # new-style typed PRNG key array
+            key_id = np.asarray(jax.random.key_data(key)).tobytes()
     cache_key = (fn, params, monitor, trace_len,
                  None if M_traced or not needs_M else M,
-                 key if m == "cgs" else None)
+                 key_id)
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is None:
         def run(R_, b_, x_, *extras):

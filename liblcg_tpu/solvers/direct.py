@@ -43,7 +43,10 @@ def scattered_split(n: int, rows, cols, vals):
     vals = np.asarray(vals)
     isdiag = rows == cols
     diag = np.zeros(n, dtype=vals.dtype)
-    diag[rows[isdiag]] = vals[isdiag]
+    # add.at, not fancy-index assignment: duplicate COO entries must SUM
+    # (the SparseOperator/BandedOperator convention; plain assignment
+    # last-write-wins and silently corrupts FEM-style assembled input).
+    np.add.at(diag, rows[isdiag], vals[isdiag])
     if np.any(diag == 0):
         missing = int(np.sum(diag == 0))
         raise ValueError(
@@ -79,9 +82,10 @@ class ScatteredDirectSolver:
         self.J = J
         pos = np.full(n, -1, dtype=np.int64)
         pos[J] = np.arange(k)
-        # Dense k x k coupling block S (off-diagonal values only).
+        # Dense k x k coupling block S (off-diagonal values only);
+        # add.at so duplicate COO entries sum.
         S = np.zeros((k, k), dtype=vals.dtype)
-        S[pos[orow], pos[ocol]] += oval
+        np.add.at(S, (pos[orow], pos[ocol]), oval)
         self.S = S
         # T = I_k + D_J^{-1} S, LU-factorized once.
         T = np.eye(k, dtype=vals.dtype) + (S / diag[J][:, None])

@@ -176,6 +176,69 @@ def test_complex_backend_guard_message():
             solve_mod._COMPLEX_OK[plat] = old
 
 
+def test_scattered_direct_sums_duplicate_coo():
+    """Duplicate COO entries must SUM (the SparseOperator convention) —
+    fancy-index assignment silently last-write-wins (round-4 review)."""
+    rng = np.random.default_rng(8)
+    n = 6
+    rows = np.array([0, 1, 2, 3, 4, 5, 0, 2, 0, 2, 2, 0, 2, 0])
+    cols = np.array([0, 1, 2, 3, 4, 5, 2, 0, 2, 0, 0, 2, 0, 2])
+    vals = np.array([4.0, 4, 4, 4, 4, 4, .3, .3, .2, .2, .1, .1, .1, .1])
+    # duplicated diagonal entries too
+    rows = np.concatenate([rows, [1, 1]])
+    cols = np.concatenate([cols, [1, 1]])
+    vals = np.concatenate([vals, [0.5, 0.25]])
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+    x_true = rng.standard_normal(n)
+    b = dense @ x_true
+    D = lcg.ScatteredDirectSolver(n, rows, cols, vals)
+    np.testing.assert_allclose(D.solve(b).x, x_true, atol=1e-12)
+    # the iterative operator agrees
+    A = lcg.ScatteredOperator(n, rows, cols, vals)
+    np.testing.assert_allclose(np.asarray(A.mv(jnp.asarray(x_true))), b,
+                               atol=1e-12)
+
+
+def test_realify_scattered_zero_real_diagonal():
+    """A purely imaginary diagonal entry has a zero REAL part — the
+    realified product is still well-defined and must not trip the direct
+    solver's invertibility check (round-4 review)."""
+    n = 5
+    diag = np.array([2 + 1j, 3 + 0j, 2j, 1 + 1j, 4 + 0j])
+    rows = np.concatenate([np.arange(n), [0, 4]])
+    cols = np.concatenate([np.arange(n), [4, 0]])
+    vals = np.concatenate([diag, [0.5 + 0.1j, 0.5 + 0.1j]])
+    A = lcg.ScatteredOperator(n, rows, cols, vals)
+    p = lcg.SolverParams(epsilon=1e-14)
+    dense = np.zeros((n, n), complex)
+    np.add.at(dense, (rows, cols), vals)
+    x_true = np.arange(1, n + 1) + 1j * np.ones(n)
+    b = dense @ x_true
+    r = lcg.solve_realified(A, b, method="bicg_sym", params=p)
+    np.testing.assert_allclose(r.x, x_true, atol=1e-6)
+
+
+def test_solve_realified_user_key_and_host_error_paths(complex_sym_small):
+    A, b, _ = complex_sym_small
+    op = lcg.DenseOperator(A)
+    import jax
+
+    # user-supplied PRNG key must not break the jit cache (round-4 review)
+    r = lcg.solve_realified(op, b, method="cgs",
+                            params=lcg.SolverParams(epsilon=1e-12),
+                            key=jax.random.PRNGKey(7))
+    assert lcg.Status(int(r.status_code)) == lcg.Status.CONVERGENCE
+    # error-path x stays HOST numpy (complex device arrays are deferred
+    # UNIMPLEMENTED bombs on complex-less backends)
+    res = lcg.solve_realified(op, b, method="pcg", M=None)
+    assert isinstance(res.x, np.ndarray)
+    res = lcg.solve_realified(op, b, method="pcg", M="jacobi",
+                              params=lcg.SolverParams(epsilon=-1.0))
+    assert isinstance(res.x, np.ndarray)
+    assert int(res.status_code) < 0
+
+
 def test_scattered_direct_guards():
     # Missing diagonal -> ValueError; too many coupled -> ValueError.
     with pytest.raises(ValueError, match="diagonal"):

@@ -196,6 +196,42 @@ def test_make_sparse_operator_auto_scattered():
                                  format="scattered")
 
 
+def test_batched_cacg_rejects_complex_and_scales_monitor():
+    import liblcg_tpu as lcg
+
+    n = 16
+    Ac = np.eye(n) * (2 + 1j)
+    Bc = np.ones((2, n), complex)
+    with pytest.raises(ValueError, match="real-domain"):
+        lcg.solve_batched(lcg.DenseOperator(Ac), Bc, method="cacg")
+    # Jacobi-scaled batched cacg: the monitor must see the PHYSICAL x
+    # (round-4 review: it saw the D^{1/2}-scaled iterate).
+    g = 8
+    A = lcg.Laplacian3DOperator(g, g, g, dtype=jnp.float32)
+    n = g ** 3
+    rng = np.random.default_rng(0)
+    x_true = rng.uniform(10.0, 20.0, n).astype(np.float32)  # big scale
+    B = np.stack([np.asarray(A.mv(jnp.asarray(x_true)))])
+    M = lcg.JacobiPreconditioner(A)
+    res = lcg.solve_batched(
+        A, B, method="cacg", s=2, M=M,
+        monitor=lambda xv, r, t: jnp.max(jnp.abs(xv)) > 1e6,
+        params=lcg.SolverParams(epsilon=1e-10))
+    assert lcg.Status(int(res.status_code[0])) in (
+        lcg.Status.CONVERGENCE, lcg.Status.ALREADY_OPTIMIZED)
+    x = np.asarray(res.x[0])
+    np.testing.assert_allclose(x, x_true, atol=2e-2)
+    # Physical-scale check: a monitor thresholded just above the true
+    # solution magnitude must NOT stop the solve (the scaled iterate
+    # x-hat = D^{1/2} x ~ 2.45x would cross it).
+    thresh = float(np.max(np.abs(x_true))) * 1.5
+    res2 = lcg.solve_batched(
+        A, B, method="cacg", s=2, M=M,
+        monitor=lambda xv, r, t: jnp.max(jnp.abs(xv)) > thresh,
+        params=lcg.SolverParams(epsilon=1e-10))
+    assert lcg.Status(int(res2.status_code[0])) != lcg.Status.STOP
+
+
 def test_solve_sequence_matches_manual_chain(spd):
     """solve_sequence chains K dependent warm-started solves in one
     dispatch; iterates must match K manual solve() calls exactly."""
