@@ -1044,6 +1044,7 @@ def _run_all_isolated(budget_s: float):
     env = _subprocess_env()
     results = {}
     stalled = set()
+    failed = []
     cap = float(os.environ.get("LIBLCG_BENCH_WORKLOAD_CAP_S", "360"))
     remaining = list(WORKLOADS)
     while remaining:
@@ -1059,10 +1060,29 @@ def _run_all_isolated(budget_s: float):
         results.update(got)
         remaining = [n for n in remaining
                      if n not in got and n != dropped]
-        if dropped is not None and was_stall:
-            stalled.add(dropped)
+        if dropped is not None:
+            if was_stall:
+                stalled.add(dropped)
+            else:
+                failed.append(dropped)
         if dropped is None:
             break               # group ran to completion
+
+    # Genuine failures get ONE retry when budget remains: the remote
+    # compile service intermittently drops connections mid-request
+    # (HTTP 500 "response body closed", observed repeatedly) — a
+    # one-shot failure is usually transient, and a repeat failure is a
+    # real bug that stays failed.
+    for name in failed:
+        left = budget_s - (time.monotonic() - t_start)
+        if results.get(name) is not None or left < 60:
+            continue
+        _note(f"retry {name} (transient-failure retry)")
+        res, was_stall = _run_one(name, min(left - 15, cap), env)
+        if res is not None:
+            results[name] = res
+        elif was_stall:
+            stalled.add(name)
 
     # The headline workload must land if at all possible: when it was
     # stalled out earlier and budget remains, try it once more (compile
