@@ -365,6 +365,25 @@ def bench_case10k_pallas():
     except Exception:
         pass
 
+    # Round-4: BiCGSTAB2 (restarted) kernel — completes the VMEM family
+    # across the reference's whole real unconstrained method set.  Fixed
+    # count 81 = the reference-binary parity count; restart select inside
+    # the kernel (chip-validated: 73 iters vs XLA 75 at eps 1e-11).
+    from liblcg_tpu.ops.pallas_cg import pallas_bicgstab2_dia
+
+    def one_bicg2(b):
+        x, _, _ = pallas_bicgstab2_dia(
+            A.offsets, A.diag_vals, b, jnp.zeros_like(b), n=sys_.n,
+            eps=0.0, max_iter=81, restart_eps=1e-6)
+        return x
+
+    try:
+        dev_bi2, _ = _slope(one_bicg2, b, K=128)
+        if dev_bi2 is not None:
+            out["bicgstab2_device_us"] = dev_bi2 * 1e6
+    except Exception:
+        pass
+
     def one_cgs_b(B_):
         X, _, _ = pallas_cgs_dia_batched(
             A.offsets, A.diag_vals, B_, jnp.zeros_like(B_), n=sys_.n,
@@ -1251,6 +1270,8 @@ def main():
                           "case10k_pallas_batched_pcg_us_per_solve"),
                          ("bicgstab_device_us",
                           "case10k_pallas_bicgstab_device_us"),
+                         ("bicgstab2_device_us",
+                          "case10k_pallas_bicgstab2_device_us"),
                          ("batched_cgs_us_per_solve",
                           "case10k_pallas_batched_cgs_us_per_solve"),
                          ("ir_batched_us_per_system",

@@ -744,8 +744,146 @@ def pallas_bicgstab_dia(
 BICGSTAB_VEC_BUFFERS = 12
 
 
+def _bicgstab2_kernel(offsets, pad_l, pad_r, n, eps, max_iter, abs_diff,
+                      restart_eps,
+                      vals_ref, b_ref, x0_ref,
+                      x_out, t_out, res_out,
+                      r0T_ref, pk_ref, ext_ref):
+    """Whole-solve restarted BiCGSTAB (the reference's LCG_BICGSTAB2,
+    lcg.cpp:812-1034), everything VMEM-resident.
+
+    Same recurrence as :func:`_bicgstab_kernel` plus the restart: when
+    |<r, r0T>| < restart_epsilon the shadow residual and the direction
+    reset to r (lcg.cpp:994-1009 — the restart branch skips the betak
+    direction update; betak is computed but unused there).  Relative
+    metric only — the abs_diff mode's mid-iteration half-step check is a
+    branching body (solvers/real.bicgstab2) and stays on the XLA path.
+    """
+    x = x0_ref[...]
+
+    def dia_mv(v_ext):
+        acc = None
+        for i, o in enumerate(offsets):
+            term = vals_ref[i : i + 1, :] * v_ext[:, pad_l + o : pad_l + o + n]
+            acc = term if acc is None else acc + term
+        return acc
+
+    ext_ref[...] = jnp.zeros_like(ext_ref)
+    ext_ref[:, pad_l : pad_l + n] = x
+    rk = b_ref[...] - dia_mv(ext_ref[...])
+    r0T_ref[...] = rk
+    pk_ref[...] = rk
+    ext_ref[:, pad_l : pad_l + n] = rk          # image holds pk
+    rkr0T0 = jnp.sum(rk * rk)
+    rmod0 = rkr0T0
+    xmod0 = jnp.maximum(jnp.sum(x * x), 1.0)
+
+    def metric(rmod, xmod):
+        if abs_diff:
+            return jnp.sqrt(rmod) / n
+        return rmod / xmod
+
+    def cond(c):
+        x, rk, rkr0T, rmod, xmod, t = c
+        return (metric(rmod, xmod) > eps) & (t < max_iter)
+
+    def body(c):
+        x, rk, rkr0T, rmod, xmod, t = c
+        Apk = dia_mv(ext_ref[...])
+        r0T = r0T_ref[...]
+        pk = pk_ref[...]
+        AprT = jnp.sum(Apk * r0T)
+        ak = rkr0T / AprT
+        sk = rk - ak * Apk
+        ext_ref[:, pad_l : pad_l + n] = sk
+        Ask = dia_mv(ext_ref[...])
+        Ass = jnp.sum(Ask * sk)
+        AsAs = jnp.sum(Ask * Ask)
+        wk = Ass / AsAs
+        x = x + ak * pk + wk * sk
+        rk = sk - wk * Ask
+        rmod1 = jnp.sum(rk * rk)
+        rkr0T1 = jnp.sum(rk * r0T)
+        # Restart (lcg.cpp:994-1009): shadow and direction reset to rk;
+        # the betak update is skipped (pk overwritten with rk).
+        restart = jnp.abs(rkr0T1) < restart_eps
+        r0T_ref[...] = jnp.where(restart, rk, r0T)
+        rkr0T_new = jnp.where(restart, rmod1, rkr0T1)
+        betak = (ak / wk) * rkr0T1 / rkr0T
+        pk = jnp.where(restart, rk, rk + betak * (pk - wk * Apk))
+        pk_ref[...] = pk
+        ext_ref[:, pad_l : pad_l + n] = pk
+        return (x, rk, rkr0T_new, rmod1,
+                jnp.maximum(jnp.sum(x * x), 1.0), t + 1)
+
+    x, rk, rkr0T, rmod, xmod, t = lax.while_loop(
+        cond, body, (x, rk, rkr0T0, rmod0, xmod0, jnp.int32(0))
+    )
+    x_out[...] = x
+    t_out[0, 0] = t
+    res_out[0, 0] = metric(rmod, xmod)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "eps", "max_iter", "abs_diff",
+                     "restart_eps", "interpret"),
+)
+def pallas_bicgstab2_dia(
+    offsets: Tuple[int, ...],
+    dia_vals: jnp.ndarray,           # (n_diags, n)
+    b: jnp.ndarray,                  # (n,)
+    x0: jnp.ndarray,                 # (n,)
+    *,
+    n: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    restart_eps: float = 1e-6,
+    interpret: bool = False,
+):
+    """Whole-solve restarted BiCGSTAB2 kernel (same VMEM census as
+    BiCGSTAB).  Returns (x, iterations, residual)."""
+    pad_l = max(0, -min(offsets, default=0))
+    pad_r = max(0, max(offsets, default=0))
+    dt = jnp.float32
+    vals = dia_vals.astype(dt)
+    b2 = b.astype(dt).reshape(1, n)
+    x02 = x0.astype(dt).reshape(1, n)
+
+    kernel = functools.partial(
+        _bicgstab2_kernel, offsets, pad_l, pad_r, n, float(eps), max_iter,
+        abs_diff, float(restart_eps)
+    )
+    x, t, res = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dt),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dt),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n), dt),                      # shadow residual r0T
+            pltpu.VMEM((1, n), dt),                      # direction pk
+            pltpu.VMEM((1, pad_l + n + pad_r), dt),      # padded image
+        ],
+        interpret=interpret,
+    )(vals, b2, x02)
+    return x.reshape(n), t[0, 0], res[0, 0]
+
+
 #: Methods with a whole-solve kernel, per batching mode.
-SINGLE_KERNEL_METHODS = ("cg", "pcg", "cgs", "bicgstab")
+SINGLE_KERNEL_METHODS = ("cg", "pcg", "cgs", "bicgstab", "bicgstab2")
 BATCHED_KERNEL_METHODS = ("cg", "pcg", "cgs")
 
 
@@ -786,7 +924,7 @@ def kernel_ineligibility(A, value_dtype, method: str, M, reduce_dtype,
                     "budget")
     else:
         census = (dict(n_vec_buffers=BICGSTAB_VEC_BUFFERS)
-                  if method == "bicgstab" else {})
+                  if method in ("bicgstab", "bicgstab2") else {})
         if not fits_in_vmem(n, A.n_diagonals, **census):
             return f"state for n={n} exceeds the VMEM budget"
     return None

@@ -320,11 +320,18 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
         return fail("the kernel does not support monitor/trace")
     from .ops.pallas_cg import (
         kernel_ineligibility,
+        pallas_bicgstab2_dia,
         pallas_bicgstab_dia,
         pallas_cg_dia,
         pallas_cgs_dia,
         pallas_pcg_dia,
     )
+
+    if method == "bicgstab2" and params.abs_diff:
+        # The abs_diff mid-iteration half-step check is a branching loop
+        # body (lcg.cpp:918-950) — XLA path only.
+        return fail("the bicgstab2 kernel supports the relative metric "
+                    "only (abs_diff uses a mid-iteration exit)")
 
     reason = kernel_ineligibility(A, b.dtype, method, M,
                                   params.reduce_dtype)
@@ -353,6 +360,10 @@ def _try_pallas_cg(A, b, x0, params, monitor, trace_len, *, required,
     elif method == "bicgstab":
         x, t, res = pallas_bicgstab_dia(A.offsets, A.diag_vals, b, x0_arr,
                                         **common)
+    elif method == "bicgstab2":
+        x, t, res = pallas_bicgstab2_dia(
+            A.offsets, A.diag_vals, b, x0_arr,
+            restart_eps=params.restart_epsilon, **common)
     else:
         x, t, res = pallas_cg_dia(A.offsets, A.diag_vals, b, x0_arr, **common)
     nan = jnp.isnan(res)
@@ -552,8 +563,8 @@ def solve(
 
     if pallas not in ("auto", "never", "always"):
         raise ValueError(f"pallas must be auto/never/always, got {pallas!r}")
-    if pallas != "never" and m in ("cg", "pcg", "cgs", "bicgstab") \
-            and not is_complex:
+    if pallas != "never" and not is_complex \
+            and m in ("cg", "pcg", "cgs", "bicgstab", "bicgstab2"):
         result = _try_pallas_cg(A, b, x0, params, monitor, trace_len,
                                 required=pallas == "always",
                                 M=M if m == "pcg" else None,

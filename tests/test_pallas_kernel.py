@@ -224,6 +224,28 @@ def test_bicgstab_kernel_matches_engine(case_10k):
     assert err / sys_.n < 2e-3
 
 
+def test_bicgstab2_kernel_matches_engine(case_10k):
+    """Whole-solve BiCGSTAB2 kernel (round 4): interpret-mode parity with
+    the XLA engine incl. the restart select; abs_diff mode must refuse
+    (its mid-iteration half-step exit is XLA-only)."""
+    sys_, answer = case_10k
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                 sys_.vals, dtype="float32")
+    b = jnp.asarray(sys_.b, jnp.float32)
+    p = lcg.SolverParams(epsilon=1e-8, restart_epsilon=1e-6)
+    r_x = lcg.solve(A, b, method="bicgstab2", params=p, pallas="never")
+    r_k = lcg.solve(A, b, method="bicgstab2", params=p, pallas="always")
+    assert abs(int(r_k.iterations) - int(r_x.iterations)) <= 3
+    np.testing.assert_allclose(np.asarray(r_k.x), np.asarray(r_x.x),
+                               rtol=0, atol=2e-3)
+    err = np.sqrt(np.sum((np.asarray(r_k.x, np.float64) - answer) ** 2))
+    assert err / sys_.n < 2e-3
+    with pytest.raises(ValueError, match="abs_diff"):
+        lcg.solve(A, b, method="bicgstab2",
+                  params=lcg.SolverParams(epsilon=1e-6, abs_diff=1),
+                  pallas="always")
+
+
 def test_bicgstab_kernel_vmem_census():
     """The BiCGSTAB route sizes eligibility with its own (larger) buffer
     census: a system that fits CG's census but not BiCGSTAB's must not
