@@ -31,9 +31,12 @@ mkdir -p "$BUILD/lib"
 # Native backend sources only (lcg/clcg + algebra + complex + util); the
 # Eigen/CUDA siblings need libraries this host doesn't have.  config.h is
 # regenerated (the shipped one enables LibLCG_EIGEN).
+# cp -p preserves source mtimes so the -nt object cache below actually
+# hits (a plain cp stamps dest mtime = now and forces a full rebuild on
+# every invocation — measured as a constant ~7 s tax per test-suite run).
 for f in lcg.h lcg.cpp clcg.h clcg.cpp algebra.h algebra.cpp \
          lcg_complex.h lcg_complex.cpp util.h util.cpp; do
-  cp "$REF/src/lib/$f" "$BUILD/lib/"
+  cp -p "$REF/src/lib/$f" "$BUILD/lib/"
 done
 cat > "$BUILD/lib/config.h" <<'EOF'
 #define LibLCG_OPENMP
@@ -47,11 +50,15 @@ for src in lcg clcg algebra lcg_complex util; do
     g++ $CXXFLAGS -c "$BUILD/lib/$src.cpp" -o "$obj"
   fi
 done
-g++ $CXXFLAGS "$REPO/profiling/reference_counts.cpp" "$BUILD"/{lcg,clcg,algebra,lcg_complex,util}.o \
-    -o "$BUILD/reference_counts"
+BIN="$BUILD/reference_counts"
+if [ ! -f "$BIN" ] || [ "$REPO/profiling/reference_counts.cpp" -nt "$BIN" ] \
+   || [ "$BUILD/lcg.o" -nt "$BIN" ]; then
+  g++ $CXXFLAGS "$REPO/profiling/reference_counts.cpp" \
+      "$BUILD"/{lcg,clcg,algebra,lcg_complex,util}.o -o "$BIN"
+fi
 
 if [ "$QUICK" = "--quick" ]; then
-  "$BUILD/reference_counts" "$REF/data" --quick
+  "$BIN" "$REF/data" --quick
 else
-  "$BUILD/reference_counts" "$REF/data" | tee "$REPO/profiling/reference_counts.json"
+  "$BIN" "$REF/data" | tee "$REPO/profiling/reference_counts.json"
 fi

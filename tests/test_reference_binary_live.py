@@ -42,19 +42,25 @@ def test_reference_binary_counts_live():
     assert abs(real["bicgstab"]["iterations"] - 80) <= 5
     assert abs(real["bicgstab2"]["iterations"] - 81) <= 6
 
+    # Random-shadow methods (the reference seeds rbar0 from time(0)):
+    # counts swing WIDELY run to run — measured c10k cgs 707-827 and c1k
+    # tfqmr 1450-1616 across four regenerations — so the live assertion
+    # is a broad plausibility band; the deterministic rows above carry
+    # the exact parity.
     c1k = got["complex_case1k_eps1e-6_absdiff"]
     assert c1k["bicg"]["iterations"] == 407
     assert c1k["bicg_sym"]["iterations"] == 407
-    assert abs(c1k["cgs"]["iterations"] - 732) <= 80      # random shadow
-    assert abs(c1k["tfqmr"]["iterations"] - 1464) <= 150  # random shadow
+    assert abs(c1k["cgs"]["iterations"] - 732) <= 250
+    assert abs(c1k["tfqmr"]["iterations"] - 1464) <= 400
 
     c10k = got["complex_case10k_eps1e-6_absdiff"]
     assert c10k["bicg"]["iterations"] == 450
     assert c10k["bicg_sym"]["iterations"] == 450
-    assert abs(c10k["cgs"]["iterations"] - 817) <= 100
-    assert abs(c10k["tfqmr"]["iterations"] - 1536) <= 150
+    assert abs(c10k["cgs"]["iterations"] - 817) <= 250
+    assert abs(c10k["tfqmr"]["iterations"] - 1536) <= 400
 
-    # Every run returned success (0 = LCG_CONVERGENCE).
+    # Every run CONVERGED (0 = LCG_CONVERGENCE; positive codes are
+    # non-convergence exits, negatives are errors).
     for grp in (real, c1k, c10k):
         for name, row in grp.items():
-            assert row["ret"] >= 0, (name, row)
+            assert row["ret"] == 0, (name, row)
