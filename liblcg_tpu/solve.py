@@ -1098,10 +1098,23 @@ def solve_sequence(
     (num_steps,).  Real-domain methods (plus cacg/chebyshev/gmres/
     minres); box-constrained PG/SPG and the random-shadow complex
     engines are excluded.
+
+    ``b0`` may also be a STACK (nrhs, n): the chain then advances nrhs
+    systems per step through the batched harness (ensemble implicit
+    integration) — per-step leaves gain the nrhs axis and ``next_b``
+    receives the whole (nrhs, n) stack.
     """
     m = canonical_method(method)
     b0 = jnp.asarray(b0)
-    A = aslinearoperator(A, n=b0.shape[0], dtype=b0.dtype) if not isinstance(
+    batched = b0.ndim == 2
+    if b0.ndim > 2:
+        raise ValueError(f"b0 must be (n,) or (nrhs, n), got {b0.shape}")
+    if batched and m not in BATCHED_METHODS:
+        raise ValueError(
+            f"method {m!r} does not support batched solves; available: "
+            f"{sorted(BATCHED_METHODS)}"
+        )
+    A = aslinearoperator(A, n=b0.shape[-1], dtype=b0.dtype) if not isinstance(
         A, LinearOperator
     ) else A
     is_complex = jnp.issubdtype(b0.dtype, jnp.complexfloating) or \
@@ -1137,22 +1150,35 @@ def solve_sequence(
     num_steps = int(num_steps)
     x0_arr = jnp.zeros_like(b0) if x0 is None else jnp.asarray(x0, b0.dtype)
 
+    nrhs = int(b0.shape[0]) if batched else None
     cache_key = ("sequence", fn, params, next_b, num_steps, needs_M,
                  M if M_static else None, bool(warm_start),
-                 bool(keep_solutions))
+                 bool(keep_solutions), nrhs)
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is None:
         def run(A_t, b0_t, x0_t, *extras):
+            import contextlib as _cl
+
             from .solvers import harness as H
 
+            A_use = _VmappedOperator(A_t) if batched else A_t
             kwargs = dict(params=params)
             if needs_M:
-                kwargs["M"] = M if M_static else extras[0]
+                M_t = M if M_static else extras[0]
+                if batched:
+                    kwargs["M"] = ((lambda V: jax.vmap(M_t)(V)) if M_static
+                                   else _VmappedOperator(M_t))
+                else:
+                    kwargs["M"] = M_t
 
             def step(carry, k):
                 x_prev, b_k = carry
-                with H.reduction_dtype(params.reduce_dtype):
-                    c = fn(A_t, b_k, x_prev if warm_start else x0_t,
+                with _cl.ExitStack() as stack:
+                    stack.enter_context(
+                        H.reduction_dtype(params.reduce_dtype))
+                    if batched:
+                        stack.enter_context(H.batched(nrhs=nrhs))
+                    c = fn(A_use, b_k, x_prev if warm_start else x0_t,
                            **kwargs)
                 x_k = c["x"]
                 b_next = jnp.asarray(next_b(x_k, k), b_k.dtype)

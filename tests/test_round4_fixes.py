@@ -278,6 +278,35 @@ def test_solve_sequence_options(spd):
         lcg.solve_sequence(op, B[0], lambda x, k: x, 2, method="cg", M=M)
 
 
+def test_solve_sequence_batched(spd):
+    """Dependent chains over a STACK of states (ensemble implicit
+    integration): per-step leaves gain the nrhs axis and each lane
+    matches its own single-lane chain."""
+    import liblcg_tpu as lcg
+
+    A, B, _ = spd
+    op = lcg.DenseOperator(A)
+    B0 = B[:3]
+    K = 3
+
+    def nxt(X, k):
+        return X / jnp.sqrt(jnp.sum(X * X, axis=-1, keepdims=True))
+
+    seq = lcg.solve_sequence(op, B0, nxt, K, method="cg", params=PARAMS)
+    assert seq.x.shape == (K, 3, A.shape[0])
+    assert seq.status_code.shape == (K, 3)
+    for lane in range(3):
+        single = lcg.solve_sequence(
+            op, B0[lane], lambda x, k: x / jnp.sqrt(jnp.sum(x * x)), K,
+            method="cg", params=PARAMS)
+        for k in range(K):
+            np.testing.assert_allclose(
+                np.asarray(seq.x[k, lane]), np.asarray(single.x[k]),
+                rtol=1e-4, atol=1e-6)
+    with pytest.raises(ValueError, match="batched"):
+        lcg.solve_sequence(op, B0, nxt, K, method="cacg")
+
+
 def test_block_solve_trace_raises(spd):
     A, B, _ = spd
     with pytest.raises(ValueError, match="block"):
