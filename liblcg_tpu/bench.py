@@ -657,7 +657,8 @@ def bench_case10kc():
     recorded in profiling/probe_r4_case10kc.json, not re-measured."""
     import liblcg_tpu as lcg
     from liblcg_tpu.operators import realify, split_complex
-    from liblcg_tpu.solvers.cplx_pairs import PairJacobi, pcg_pairs
+    from liblcg_tpu.solvers.cplx_pairs import (PairJacobi, pcg_pairs,
+                                               tfqmr_pairs)
     from liblcg_tpu.utils import io
 
     path = f"{REFERENCE_DATA}/case_10K_cA"
@@ -697,13 +698,45 @@ def bench_case10kc():
         return pcg_pairs(R, bv, M=Mj, params=pfix)["x"]
 
     dev, _ = _slope(one, bp, K=8)
+
+    # Pair-complex TFQMR on chip (round 5: the last reference complex
+    # methods gained pair forms — clcg.cpp:681-882 on a complex-less
+    # backend).  Reference binary: 1544 half-step iterations, 230.8 ms
+    # (profiling/reference_counts.json complex_case10k).
+    res_t = lcg.solve_realified(A, s.b, method="tfqmr", params=p)
+    iters_t = int(res_t.iterations)
+    md_t = float(np.max(np.abs(res_t.x - answer)))
+    pfix_t = lcg.SolverParams(epsilon=1e-30, abs_diff=1,
+                              max_iterations=iters_t)
+
+    def one_t(bv):
+        return tfqmr_pairs(R, bv, params=pfix_t)["x"]
+
+    dev_t, _ = _slope(one_t, bp, K=4)
+    # This spectrum is ill-conditioned enough that distance to the
+    # shipped answer is a loose proxy at eps=1e-6 (the shadow draw moves
+    # it several-fold); the contract the reference guarantees is its own
+    # stopping metric, so gate on the TRUE residual ||b - A x||^2 / n
+    # (host COO product — the recurrence residual can drift slightly,
+    # hence the 5x slack on eps).
+    ax = np.zeros(n, complex)
+    np.add.at(ax, s.rows, np.asarray(s.vals) * np.asarray(res_t.x)[s.cols])
+    true_res_t = float(np.sum(np.abs(np.asarray(s.b) - ax) ** 2)) / n
+    ok_t = bool(lcg.Status(int(res_t.status_code)) == lcg.Status.CONVERGENCE
+                and true_res_t <= 5e-6)
+
     out = {"direct_wall_ms": direct_wall * 1e3, "direct_max_diff": direct_md,
            "k_coupled": D.k,
            "pairs_pcg_iterations": iters, "pairs_pcg_wall_ms": wall * 1e3,
            "pairs_pcg_max_diff": md,
-           "ok": bool(res.converged and md < 0.1 and direct_md < 1e-10)}
+           "tfqmr_iterations": iters_t, "tfqmr_max_diff": md_t,
+           "tfqmr_true_residual": true_res_t,
+           "ok": bool(res.converged and md < 0.1 and direct_md < 1e-10
+                      and ok_t)}
     if dev is not None:
         out["pairs_pcg_device_ms"] = dev * 1e3
+    if dev_t is not None:
+        out["tfqmr_device_ms"] = dev_t * 1e3
     return out
 
 
@@ -980,7 +1013,7 @@ _COMPACT_MAP = (
     ("case10kc_pairs_vs_baseline", "c10kc_pcg_x"),
     ("case10kc_tfqmr_iterations", "c10kc_tfqmr_it"),
     ("case10kc_tfqmr_device_ms", "c10kc_tfqmr_dev_ms"),
-    ("case10kc_bicgstab_iterations", "c10kc_bst_it"),
+    ("case10kc_tfqmr_vs_baseline", "c10kc_tfqmr_x"),
     ("case10kc_pallas_pcg_device_ms", "c10kc_pal_ms"),
     ("case10kc_pallas_vs_baseline", "c10kc_pal_x"),
     ("gmres_us_per_iter", "gmres_us_it"),
@@ -1427,6 +1460,16 @@ def main():
             if c10kc_base:
                 out["case10kc_pairs_vs_baseline"] = round(
                     c10kc_base / c10kc["pairs_pcg_device_ms"], 2)
+        if "tfqmr_iterations" in c10kc:
+            out["case10kc_tfqmr_iterations"] = c10kc["tfqmr_iterations"]
+        if "tfqmr_device_ms" in c10kc:
+            out["case10kc_tfqmr_device_ms"] = round(
+                c10kc["tfqmr_device_ms"], 2)
+            tfqmr_base = baseline.get("case_10K_complex", {}).get(
+                "best_ms", {}).get("tfqmr")
+            if tfqmr_base:
+                out["case10kc_tfqmr_vs_baseline"] = round(
+                    tfqmr_base / c10kc["tfqmr_device_ms"], 2)
         out["case10kc_ok"] = c10kc["ok"]
     seq = _valid(r.get("sequence"), "wall_ms", "ok")
     if seq is not None:

@@ -375,12 +375,261 @@ def cgs_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
                       x_of=lambda c: c["x"], params=params, monitor=monitor)
 
 
+def _shadow_pair(b, n, key):
+    """Random shadow residual as a stacked pair: real-positive U[1,2)
+    (clcg.cpp:399-403 draws until |<rbar0,r>| >= 1e-8; a real-positive
+    draw makes the redraw loop a no-op for non-adversarial r0).  The
+    split-then-draw sequence matches cplx._shadow_residual exactly, so a
+    pair engine and its complex-dtype twin see the SAME rbar0 values and
+    their iteration counts track each other, not just the same band."""
+    if key is None:
+        key = jax.random.PRNGKey(1234)
+    _, sub = jax.random.split(key)
+    re = jax.random.uniform(sub, (n,), dtype=b.dtype, minval=1.0, maxval=2.0)
+    return jnp.concatenate([re, jnp.zeros_like(re)])
+
+
+def bicgstab_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
+                   trace_len=0, key=None):
+    """Complex BiCGSTAB with random shadow residual, pair form
+    (clcg.cpp:524-679 — native-only in the reference; the Eigen
+    dispatcher rejects it, clcg_eigen.cpp:51-67)."""
+    n = b.shape[0] // 2
+    x = jnp.zeros_like(b) if x0 is None else x0
+    rk = b - A.mv(x)
+    rbar0 = _shadow_pair(b, n, key)
+    carry = _carry_common(x, rk, b, trace_len)
+    carry.update(rbar0=rbar0, pk=rk, Apk=jnp.zeros_like(rk),
+                 rhok=pair_dot_c(rbar0, rk))
+
+    def residual_fn(c):
+        return H.complex_residual(c["rk_sq"], c["m_sq"], n, params.abs_diff)
+
+    def step_fn(c):
+        Apk = A.mv(c["pk"])
+        rbr, rbi = _halves(c["rbar0"])
+        pr, pi = _halves(Apk)
+        sgr, sgi = fused_sums(rbr * pr + rbi * pi, rbr * pi - rbi * pr)
+        ak = s_div(c["rhok"], (sgr, sgi))
+        sk = axpy((-ak[0], -ak[1]), Apk, c["rk"])
+        Ask = A.mv(sk)
+        ar, ai = _halves(Ask)
+        sr, si = _halves(sk)
+        # omega = <As, s>_c / <As, As>_c (clcg.cpp:631-638); the
+        # denominator is a real squared norm.
+        Assr, Assi, AsAs = fused_sums(
+            ar * sr + ai * si, ar * si - ai * sr, ar * ar + ai * ai)
+        omega = (Assr / AsAs, Assi / AsAs)
+        x = axpy(omega, sk, axpy(ak, c["pk"], c["x"]))
+        rk = axpy((-omega[0], -omega[1]), Ask, sk)
+        rr, ri = _halves(rk)
+        xr, xi = _halves(x)
+        rhr, rhi, rk_sq, m_sq = fused_sums(
+            rbr * rr + rbi * ri, rbr * ri - rbi * rr,
+            rr * rr + ri * ri, xr * xr + xi * xi)
+        rhok2 = (rhr, rhi)
+        betak = s_div(s_mul(rhok2, ak), s_mul(c["rhok"], omega))
+        pk = axpy(betak, axpy((-omega[0], -omega[1]), Apk, c["pk"]), rk)
+        return dict(c, x=x, rk=rk, pk=pk, Apk=Apk, rhok=rhok2,
+                    rk_sq=rk_sq, m_sq=m_sq)
+
+    return H.run_loop(carry, residual_fn=residual_fn, step_fn=step_fn,
+                      x_of=lambda c: c["x"], params=params, monitor=monitor)
+
+
+def tfqmr_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
+                trace_len=0, key=None):
+    """Transpose-free QMR, pair form (cltfqmr, clcg.cpp:681-882).
+
+    Mirrors solvers/cplx.py:tfqmr exactly — tau/omega start at ||r0||^2
+    (clcg.cpp:727-728), both half-step checks read the residual refreshed
+    only after the pair (clcg.cpp:784-785, 853-854), t counts half steps
+    — with complex scalars carried as (re, im) pairs.  Single-system
+    (solve_realified's contract); the half-step exits are straight-line
+    jnp.where selects like the complex-dtype engine.
+    """
+    from jax import lax
+
+    n = b.shape[0] // 2
+    x = jnp.zeros_like(b) if x0 is None else x0
+    rk = b - A.mv(x)
+    rbar0 = _shadow_pair(b, n, key)
+    rk_inner = pair_sq_norm(rk)  # |<r,r>| == ||r||^2
+    rdt = b.dtype
+    max_iter = params.effective_max_iterations()
+    eps = params.epsilon
+
+    carry = dict(
+        x=x,
+        rk=rk,
+        rbar0=rbar0,
+        pk=rk,
+        uk=rk,
+        qk=jnp.zeros_like(rk),
+        dk=jnp.zeros_like(rk),
+        rho=pair_dot_c(rbar0, rk),
+        rk_mod=rk_inner,            # module of <r,r>, carried across iters
+        rk_sq=rk_inner * rk_inner,  # reference rk_square = ||r||^4
+        m_sq4=jnp.maximum(pair_sq_norm(x) ** 2, 1.0),
+        theta=jnp.zeros((), rdt),
+        tao=rk_inner,
+        eta=(jnp.zeros((), rdt), jnp.zeros((), rdt)),
+        t=jnp.asarray(0, jnp.int32),
+        status=H.running_status(),
+        residual=jnp.zeros((), rdt),
+        trace=H.init_trace(trace_len, rdt),
+    )
+
+    def _init_res(c):
+        # clcg.cpp:738-755 (the ||r||^4 metric, complex_residual's body,
+        # on the carried fourth powers).
+        if params.abs_diff:
+            return jnp.sqrt(c["rk_sq"]) / n
+        return c["rk_sq"] / c["m_sq4"]
+
+    def cond_fn(c):
+        return (c["status"] == int(Status.RUNNING)) & (c["t"] <= max_iter)
+
+    def _half_verdict(c, x, t, res):
+        stop = (
+            monitor(x, res, t) if monitor is not None else jnp.asarray(False)
+        )
+        return jnp.where(
+            stop,
+            int(Status.STOP),
+            jnp.where(
+                res <= eps,
+                int(Status.CONVERGENCE),
+                jnp.where(
+                    (params.max_iterations > 0)
+                    & (t + 1 > params.max_iterations),
+                    int(Status.REACHED_MAX_ITERATIONS),
+                    int(Status.RUNNING),
+                ),
+            ),
+        ).astype(jnp.int32)
+
+    def body_fn(c):
+        vk = A.mv(c["pk"])
+        rbr, rbi = _halves(c["rbar0"])
+        vr, vi = _halves(vk)
+        sgr, sgi = fused_sums(rbr * vr + rbi * vi, rbr * vi - rbi * vr)
+        alpha = s_div(c["rho"], (sgr, sgi))
+        qk = axpy((-alpha[0], -alpha[1]), vk, c["uk"])
+        uqk = c["uk"] + qk
+        Auq = A.mv(uqk)
+        rk = axpy((-alpha[0], -alpha[1]), Auq, c["rk"])
+        rk_mod2 = pair_sq_norm(rk)
+        # rk/qk committed before the checks (clcg.cpp:766-780).
+        c = dict(c, qk=qk, rk=rk)
+
+        res = _init_res(c)
+
+        def half_update(c, j, alive):
+            s = s_div(c["eta"], alpha)
+            th2 = c["theta"] * c["theta"]
+            sign = (th2 * s[0], th2 * s[1])
+            if j == 1:
+                omega = jnp.sqrt(c["rk_mod"] * rk_mod2)       # clcg.cpp:812
+                dk_new = axpy(sign, c["dk"], c["uk"])
+            else:
+                omega = rk_mod2                               # clcg.cpp:822
+                dk_new = axpy(sign, c["dk"], c["qk"])
+            theta = omega / c["tao"]
+            tao = omega / jnp.sqrt(1.0 + theta * theta)
+            scale = 1.0 / (1.0 + theta * theta)
+            eta = (scale * alpha[0], scale * alpha[1])
+            x = axpy(eta, dk_new, c["x"])
+            sel = lambda new, old: jnp.where(alive, new, old)
+            return dict(
+                c,
+                x=sel(x, c["x"]),
+                dk=sel(dk_new, c["dk"]),
+                theta=sel(theta, c["theta"]),
+                tao=sel(tao, c["tao"]),
+                eta=(sel(eta[0], c["eta"][0]), sel(eta[1], c["eta"][1])),
+                m_sq4=sel(jnp.maximum(pair_sq_norm(x) ** 2, 1.0),
+                          c["m_sq4"]),
+                t=c["t"] + alive.astype(jnp.int32),
+            )
+
+        # Half step 1.
+        if c["trace"] is not None:
+            c["trace"] = H.record_trace(c["trace"], c["t"], res)
+        v1 = _half_verdict(c, c["x"], c["t"], res)
+        a1 = v1 == int(Status.RUNNING)
+        c = half_update(c, 1, a1)
+
+        # Half step 2 — same stale rk_sq, half 1's refreshed ||x||^4.
+        res2 = _init_res(c)
+        res = jnp.where(a1, res2, res)
+        if c["trace"] is not None:
+            c["trace"] = jnp.where(
+                a1, H.record_trace(c["trace"], c["t"], res), c["trace"]
+            )
+        v2 = _half_verdict(c, c["x"], c["t"], res)
+        a2 = a1 & (v2 == int(Status.RUNNING))
+        c = half_update(c, 2, a2)
+
+        # Recurrence tail, committed only while still running.
+        rr, ri = _halves(c["rk"])
+        rhr, rhi = fused_sums(rbr * rr + rbi * ri, rbr * ri - rbi * rr)
+        rho2 = (rhr, rhi)
+        betak = s_div(rho2, c["rho"])
+        uk = axpy(betak, c["qk"], c["rk"])
+        pk = axpy(betak, axpy(betak, c["pk"], c["qk"]), uk)
+        sel = lambda new, old: jnp.where(a2, new, old)
+        c = dict(
+            c,
+            uk=sel(uk, c["uk"]),
+            pk=sel(pk, c["pk"]),
+            rho=(sel(rho2[0], c["rho"][0]), sel(rho2[1], c["rho"][1])),
+            rk_mod=sel(rk_mod2, c["rk_mod"]),
+            rk_sq=sel(rk_mod2 * rk_mod2, c["rk_sq"]),
+            residual=res,
+        )
+
+        status = jnp.where(
+            ~a1, v1, jnp.where(~a2, v2, int(Status.RUNNING))
+        ).astype(jnp.int32)
+        status = jnp.where(
+            jnp.isnan(rk_mod2) & (status == int(Status.RUNNING)),
+            int(Status.NAN_VALUE),
+            status,
+        ).astype(jnp.int32)
+        return dict(c, status=status)
+
+    # ALREADY_OPTIMIZED short-circuit (clcg.cpp:738-755).
+    init_res = _init_res(carry)
+    carry["residual"] = init_res
+    carry["status"] = jnp.where(
+        init_res <= eps, int(Status.CONVERGENCE), int(Status.RUNNING)
+    ).astype(jnp.int32)
+
+    carry = lax.while_loop(cond_fn, body_fn, carry)
+    carry["status"] = jnp.where(
+        carry["status"] == int(Status.RUNNING),
+        int(Status.REACHED_MAX_ITERATIONS),
+        carry["status"],
+    ).astype(jnp.int32)
+    # rho/eta are scalar pairs (not part of the SolveResult surface);
+    # drop them so finalize/callers see the uniform carry schema.
+    carry.pop("rho")
+    carry.pop("eta")
+    return H.finalize(carry)
+
+
 _JIT_CACHE: dict = {}
+
+#: methods whose engines draw a random shadow residual (accept ``key=``).
+_KEYED_METHODS = ("cgs", "bicgstab", "tfqmr")
 
 _PAIR_ENGINES = {
     "bicg": (bicg_pairs, False),
     "bicg_sym": (bicg_sym_pairs, False),
     "cgs": (cgs_pairs, False),
+    "bicgstab": (bicgstab_pairs, False),
+    "tfqmr": (tfqmr_pairs, False),
     "pcg": (pcg_pairs, True),
     "pbicg": (pbicg_pairs, True),
 }
@@ -474,7 +723,7 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
     # PRNG keys are jax arrays (unhashable) — hash their bytes; the key
     # itself is closed over in `run` below, so a different key value is
     # a different cache entry with the right constant baked in.
-    if m != "cgs" or key is None:
+    if m not in _KEYED_METHODS or key is None:
         key_id = None
     else:
         try:
@@ -489,7 +738,7 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
         def run(R_, b_, x_, *extras):
             kwargs = dict(params=params, monitor=monitor,
                           trace_len=trace_len)
-            if m == "cgs":
+            if m in _KEYED_METHODS:
                 kwargs["key"] = key
             if needs_M:
                 kwargs["M"] = extras[0] if M_traced else M

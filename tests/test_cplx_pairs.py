@@ -13,19 +13,26 @@ import pytest
 
 import liblcg_tpu as lcg
 
-PAIR_METHODS = ["bicg", "bicg_sym", "cgs"]
+#: (method, |pair iterations - complex-dtype iterations| allowed).
+#: BiCGSTAB's omega arithmetic is the most reduction-order-sensitive
+#: recurrence in the family (the reference's own real BiCGSTAB gets a
+#: ±5 band at 80 iterations); the pair substrate reorders every dot, so
+#: its count drifts further while converging to the same solution
+#: (measured 115 vs 132 on this system, residuals both ~2e-15).
+PAIR_METHODS = [("bicg", 3), ("bicg_sym", 3), ("cgs", 3),
+                ("bicgstab", 25), ("tfqmr", 3)]
 PAIR_PRE_METHODS = ["pcg", "pbicg"]
 
 
-@pytest.mark.parametrize("method", PAIR_METHODS)
-def test_pairs_match_complex_engine(complex_sym_small, method):
+@pytest.mark.parametrize("method,tol", PAIR_METHODS)
+def test_pairs_match_complex_engine(complex_sym_small, method, tol):
     A, b, x_true = complex_sym_small
     op = lcg.DenseOperator(A)
     p = lcg.SolverParams(epsilon=1e-14)
     rc = lcg.solve(op, jnp.asarray(b), method=method, params=p)
     rp = lcg.solve_realified(op, b, method=method, params=p)
     assert lcg.Status(int(rp.status_code)) == lcg.Status.CONVERGENCE
-    assert abs(int(rp.iterations) - int(rc.iterations)) <= 3
+    assert abs(int(rp.iterations) - int(rc.iterations)) <= tol
     np.testing.assert_allclose(rp.x, x_true, atol=2e-3)
 
 
@@ -70,6 +77,40 @@ def test_pairs_golden_case10k_bicg_sym(case_10k_complex):
     assert md < 0.1, md
 
 
+def test_pairs_golden_case1k_tfqmr(case_1k_complex):
+    """Pair-form TFQMR on the shipped case_1K lands inside the reference
+    binary's random-shadow band (1464±400 across regenerations — the
+    reference seeds rbar0 from time(0), clcg.cpp:399-403)."""
+    sys_, answer = case_1k_complex
+    A = lcg.SparseOperator(sys_.n, sys_.n, sys_.rows, sys_.cols, sys_.vals)
+    p = lcg.SolverParams(epsilon=1e-6, abs_diff=1)
+    r = lcg.solve_realified(A, sys_.b, method="tfqmr", params=p)
+    assert lcg.Status(int(r.status_code)) == lcg.Status.CONVERGENCE
+    assert abs(int(r.iterations) - 1464) <= 400, int(r.iterations)
+    md = float(np.max(np.abs(r.x - answer)))
+    assert md < 0.1, md
+
+
+def test_pairs_bicgstab_converges_well_conditioned():
+    """Pair-form BiCGSTAB solves a well-conditioned complex-symmetric
+    system to machine accuracy (the shipped cases are adversarial for
+    BiCGSTAB — the reference's own engine needs 7-9K iterations there,
+    so correctness is asserted on a controlled spectrum)."""
+    rng = np.random.default_rng(3)
+    n = 300
+    C = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = (C + C.T) * 0.05 + np.eye(n) * 6.0   # complex-symmetric, diag-dominant
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = A @ x_true
+    op = lcg.DenseOperator(A)
+    # abs_diff: ||r||^2/n <= eps (the relative metric is a ||r||^4 ratio
+    # against ||x||^4 — far looser than it looks for ||x|| >> 1).
+    p = lcg.SolverParams(epsilon=1e-14, abs_diff=1)
+    r = lcg.solve_realified(op, b, method="bicgstab", params=p)
+    assert lcg.Status(int(r.status_code)) == lcg.Status.CONVERGENCE
+    np.testing.assert_allclose(r.x, x_true, atol=1e-5)
+
+
 def test_pairs_trace_and_monitor(complex_sym_small):
     A, b, _ = complex_sym_small
     op = lcg.DenseOperator(A)
@@ -87,8 +128,10 @@ def test_pairs_trace_and_monitor(complex_sym_small):
 def test_pairs_rejects_unknown_and_missing_M(complex_sym_small):
     A, b, _ = complex_sym_small
     op = lcg.DenseOperator(A)
+    # All 7 reference complex methods have pair forms since round 5;
+    # real-domain methods remain out of scope here.
     with pytest.raises(ValueError, match="pair-complex"):
-        lcg.solve_realified(op, b, method="tfqmr")
+        lcg.solve_realified(op, b, method="cg")
     r = lcg.solve_realified(op, b, method="pcg", M=None)
     assert lcg.Status(int(r.status_code)) == lcg.Status.NULL_PRECONDITION_MATRIX
 
