@@ -100,13 +100,15 @@ from .parallel import (
     ShardedStencil3D,
     Stencil3DOperator,
     ShardedLaplacian3D,
+    ShardedRealifiedOperator,
     ShardedSparseOperator,
     make_mesh,
+    solve_realified_sharded,
     solve_refined_sharded,
     solve_sharded,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "DEFAULT_PARAMS",
@@ -170,11 +172,13 @@ __all__ = [
     "io",
     "parallel",
     "ShardedSparseOperator",
+    "ShardedRealifiedOperator",
     "ShardedLaplacian3D",
     "Laplacian3DOperator",
     "Stencil3DOperator",
     "ShardedStencil3D",
     "make_mesh",
     "solve_sharded",
+    "solve_realified_sharded",
     "solve_refined_sharded",
 ]

@@ -29,12 +29,22 @@ from .stencil import (
 )
 from .api import solve_refined_sharded, solve_sharded, shard_system
 from .block_jacobi import BlockJacobiPreconditioner
+from .realified import (
+    ShardedRealifiedOperator,
+    pack_pairs,
+    solve_realified_sharded,
+    unpack_pairs,
+)
 
 __all__ = [
     "make_mesh",
     "initialize_distributed",
     "ShardedSparseOperator",
     "ShardedBandedOperator",
+    "ShardedRealifiedOperator",
+    "solve_realified_sharded",
+    "pack_pairs",
+    "unpack_pairs",
     "Laplacian3DOperator",
     "ShardedLaplacian3D",
     "Stencil3DOperator",

@@ -371,15 +371,24 @@ class ShardedBandedOperator(LinearOperator):
             )
         return jnp.concatenate(parts) if len(parts) > 1 else x
 
-    def _apply(self, vals, x):
+    def _apply_window(self, x_ext, vals=None):
+        """DIA product against an ALREADY-exchanged extended window —
+        lets callers that need several products of the same source
+        (e.g. the realified complex product's four real sub-products,
+        parallel/realified.py) pay the halo exchange once."""
         h_l, h_r = self.halo
-        x_ext = self._exchange(x, h_l, h_r)
-        n_local = x.shape[0]
+        n_local = x_ext.shape[0] - h_l - h_r
+        if vals is None:
+            vals = self.dia_vals
         y = None
         for d, o in enumerate(self.offsets):
             term = vals[:, d] * x_ext[h_l + o : h_l + o + n_local]
             y = term if y is None else y + term
-        return y if y is not None else jnp.zeros_like(x)
+        return y if y is not None else jnp.zeros((n_local,), self.dtype)
+
+    def _apply(self, vals, x):
+        h_l, h_r = self.halo
+        return self._apply_window(self._exchange(x, h_l, h_r), vals)
 
     def mv(self, x):
         return self._apply(self.dia_vals, x)

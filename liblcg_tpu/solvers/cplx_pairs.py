@@ -148,10 +148,18 @@ class PairJacobi:
         return diag_mul(self.inv_diag, v)
 
 
+def _pairjacobi_unflatten(aux, ch):
+    # No __init__: unflatten children may be tracers/specs/None and must
+    # pass through untouched (jnp.asarray on a PartitionSpec raises).
+    obj = object.__new__(PairJacobi)
+    obj.inv_diag = ch[0]
+    return obj
+
+
 jax.tree_util.register_pytree_node(
     PairJacobi,
     lambda M: ((M.inv_diag,), None),
-    lambda aux, ch: PairJacobi(ch[0]),
+    _pairjacobi_unflatten,
 )
 
 
@@ -187,7 +195,10 @@ def _carry_common(x, rk, b, trace_len):
 def bicg_sym_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
                    trace_len=0):
     """BiCG for complex-symmetric A, pair form (clcg.cpp:228-364)."""
-    n = b.shape[0] // 2
+    # Global logical size for the stopping metric (psum-aware when
+    # sharded: vectors are then LOCAL [re;im] shards, see
+    # parallel/realified.py); vector construction uses local shapes.
+    n = H.dim(b) // 2
     x = jnp.zeros_like(b) if x0 is None else x0
     rk = b - A.mv(x)
     carry = _carry_common(x, rk, b, trace_len)
@@ -224,7 +235,10 @@ def bicg_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
                trace_len=0):
     """General BiCG with the A^H dual sequence, pair form
     (clcg.cpp:77-226; the dual product A^H d2 is RealifiedOperator.rmv)."""
-    n = b.shape[0] // 2
+    # Global logical size for the stopping metric (psum-aware when
+    # sharded: vectors are then LOCAL [re;im] shards, see
+    # parallel/realified.py); vector construction uses local shapes.
+    n = H.dim(b) // 2
     x = jnp.zeros_like(b) if x0 is None else x0
     r1k = b - A.mv(x)
     r2k = vconj(r1k)
@@ -260,7 +274,10 @@ def pcg_pairs(A, b, x0=None, *, M, params=SolverParams(), monitor=None,
               trace_len=0):
     """Complex-symmetric PCG, pair form (clcg_eigen.cpp:577-683 — the
     unconjugated d_new at :598)."""
-    n = b.shape[0] // 2
+    # Global logical size for the stopping metric (psum-aware when
+    # sharded: vectors are then LOCAL [re;im] shards, see
+    # parallel/realified.py); vector construction uses local shapes.
+    n = H.dim(b) // 2
     apply_M = M.mv if hasattr(M, "mv") else M
     x = jnp.zeros_like(b) if x0 is None else x0
     rk = b - A.mv(x)
@@ -301,7 +318,10 @@ def pbicg_pairs(A, b, x0=None, *, M, params=SolverParams(), monitor=None,
                 trace_len=0):
     """Preconditioned BiCG with the conj(A) dual product, pair form
     (clcg_eigen.cpp:685-801; the (MatNormal, Conjugate) mode at :765)."""
-    n = b.shape[0] // 2
+    # Global logical size for the stopping metric (psum-aware when
+    # sharded: vectors are then LOCAL [re;im] shards, see
+    # parallel/realified.py); vector construction uses local shapes.
+    n = H.dim(b) // 2
     apply_M = M.mv if hasattr(M, "mv") else M
     x = jnp.zeros_like(b) if x0 is None else x0
     rk = b - A.mv(x)
@@ -341,12 +361,18 @@ def cgs_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
     r0, matching _shadow_residual's first draw)."""
     import jax
 
-    n = b.shape[0] // 2
+    # Global logical size for the stopping metric (psum-aware when
+    # sharded: vectors are then LOCAL [re;im] shards, see
+    # parallel/realified.py); vector construction uses local shapes.
+    n = H.dim(b) // 2
     x = jnp.zeros_like(b) if x0 is None else x0
     rk = b - A.mv(x)
     if key is None:
         key = jax.random.PRNGKey(1234)
-    re = jax.random.uniform(key, (n,), dtype=b.dtype, minval=1.0, maxval=2.0)
+    # Draw at the LOCAL half-length (== n single-device; the shard length
+    # under shard_map, where the caller decorrelates keys per shard).
+    re = jax.random.uniform(key, (b.shape[0] // 2,), dtype=b.dtype,
+                            minval=1.0, maxval=2.0)
     rbar0 = jnp.concatenate([re, jnp.zeros_like(re)])
     carry = _carry_common(x, rk, b, trace_len)
     carry.update(rbar0=rbar0, pk=rk, uk=rk, qk=jnp.zeros_like(rk),
@@ -375,17 +401,21 @@ def cgs_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
                       x_of=lambda c: c["x"], params=params, monitor=monitor)
 
 
-def _shadow_pair(b, n, key):
+def _shadow_pair(b, key):
     """Random shadow residual as a stacked pair: real-positive U[1,2)
     (clcg.cpp:399-403 draws until |<rbar0,r>| >= 1e-8; a real-positive
     draw makes the redraw loop a no-op for non-adversarial r0).  The
     split-then-draw sequence matches cplx._shadow_residual exactly, so a
     pair engine and its complex-dtype twin see the SAME rbar0 values and
-    their iteration counts track each other, not just the same band."""
+    their iteration counts track each other, not just the same band.
+
+    The draw length is the LOCAL half-length ``b.shape[0] // 2`` (== the
+    logical ``n`` single-device; the shard length under shard_map)."""
     if key is None:
         key = jax.random.PRNGKey(1234)
     _, sub = jax.random.split(key)
-    re = jax.random.uniform(sub, (n,), dtype=b.dtype, minval=1.0, maxval=2.0)
+    re = jax.random.uniform(sub, (b.shape[0] // 2,), dtype=b.dtype,
+                            minval=1.0, maxval=2.0)
     return jnp.concatenate([re, jnp.zeros_like(re)])
 
 
@@ -394,10 +424,13 @@ def bicgstab_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
     """Complex BiCGSTAB with random shadow residual, pair form
     (clcg.cpp:524-679 — native-only in the reference; the Eigen
     dispatcher rejects it, clcg_eigen.cpp:51-67)."""
-    n = b.shape[0] // 2
+    # Global logical size for the stopping metric (psum-aware when
+    # sharded: vectors are then LOCAL [re;im] shards, see
+    # parallel/realified.py); vector construction uses local shapes.
+    n = H.dim(b) // 2
     x = jnp.zeros_like(b) if x0 is None else x0
     rk = b - A.mv(x)
-    rbar0 = _shadow_pair(b, n, key)
+    rbar0 = _shadow_pair(b, key)
     carry = _carry_common(x, rk, b, trace_len)
     carry.update(rbar0=rbar0, pk=rk, Apk=jnp.zeros_like(rk),
                  rhok=pair_dot_c(rbar0, rk))
@@ -450,10 +483,13 @@ def tfqmr_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
     """
     from jax import lax
 
-    n = b.shape[0] // 2
+    # Global logical size for the stopping metric (psum-aware when
+    # sharded: vectors are then LOCAL [re;im] shards, see
+    # parallel/realified.py); vector construction uses local shapes.
+    n = H.dim(b) // 2
     x = jnp.zeros_like(b) if x0 is None else x0
     rk = b - A.mv(x)
-    rbar0 = _shadow_pair(b, n, key)
+    rbar0 = _shadow_pair(b, key)
     rk_inner = pair_sq_norm(rk)  # |<r,r>| == ||r||^2
     rdt = b.dtype
     max_iter = params.effective_max_iterations()
@@ -637,7 +673,7 @@ _PAIR_ENGINES = {
 
 def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
                     params: SolverParams = DEFAULT_PARAMS, monitor=None,
-                    trace_len: int = 0, key=None,
+                    trace_len: int = 0, key=None, mesh=None,
                     check: bool = False) -> SolveResult:
     """Solve the complex system ``A x = b`` on a complex-less backend with
     the reference's own complex algorithms (pair arithmetic).
@@ -652,8 +688,24 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
     (same recurrences; reduction order differs so very ill-conditioned
     systems may shift by a few counts) — and through them the reference
     binary (test_reference_parity.py bands).
+
+    SPMD: pass ``A`` as a
+    :class:`~liblcg_tpu.parallel.ShardedRealifiedOperator` (optionally
+    with ``mesh=``) and the solve runs sharded over the device mesh —
+    vectors as local ``[re_d; im_d]`` shards, reductions as psums
+    (delegates to :func:`liblcg_tpu.solve_realified_sharded`).
     """
     from ..solve import canonical_method
+
+    # Mesh-aware route: a sharded operator (or an explicit mesh) solves
+    # SPMD via parallel/realified.py.
+    from ..parallel.realified import (ShardedRealifiedOperator,
+                                      solve_realified_sharded)
+
+    if isinstance(A, ShardedRealifiedOperator) or mesh is not None:
+        return solve_realified_sharded(
+            A, b, x0, method=method, M=M, mesh=mesh, params=params,
+            monitor=monitor, trace_len=trace_len, key=key, check=check)
 
     m = canonical_method(method)
     if m not in _PAIR_ENGINES:
