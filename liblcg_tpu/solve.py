@@ -713,10 +713,12 @@ class _VmappedOperator:
         return jax.vmap(self._op.hmv)(X)
 
 
-def _solve_block(A, B, X0, m, *, params, M, monitor, is_complex, check):
+def _solve_block(A, B, X0, m, *, params, M, monitor, trace_len, is_complex,
+                 check):
     """Dispatch ``solve_batched(method='block_cg'/'block_pcg')`` to the
     shared-Krylov block engine (solvers/block.py).  Same result contract as
-    the vmapped batched path: per-system status/iterations/residual."""
+    the vmapped batched path: per-system status/iterations/residual and,
+    with ``trace_len > 0``, per-system (nrhs, trace_len) residual rows."""
     from .solvers import harness as H
     from .solvers.block import block_cg
 
@@ -740,7 +742,7 @@ def _solve_block(A, B, X0, m, *, params, M, monitor, is_complex, check):
 
     M_static = M is not None and not isinstance(M, LinearOperator)
     cache_key = ("block", params, monitor, M is not None,
-                 M if M_static else None)
+                 M if M_static else None, trace_len)
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is None:
         def run(A_t, B_t, X0_t, *extras):
@@ -751,7 +753,7 @@ def _solve_block(A, B, X0, m, *, params, M, monitor, is_complex, check):
                     _VmappedOperator(extras[0]).mv
             with H.reduction_dtype(params.reduce_dtype):
                 return block_cg(Ab, B_t, X0_t, M=Mb, params=params,
-                                monitor=monitor)
+                                monitor=monitor, trace_len=trace_len)
 
         jitted = jax.jit(run)
         _JIT_CACHE[cache_key] = jitted
@@ -763,7 +765,7 @@ def _solve_block(A, B, X0, m, *, params, M, monitor, is_complex, check):
         status_code=carry["status"],
         iterations=carry["t"],
         residual=carry["residual"],
-        trace=None,
+        trace=carry.get("trace"),
     )
     if check:
         from .utils.errors import check_status
@@ -936,14 +938,9 @@ def solve_batched(
     if is_complex:
         _check_complex_backend()
     if m in _BLOCK_METHODS:
-        if trace_len > 0:
-            raise ValueError(
-                "trace_len > 0 is not supported for block solves (the "
-                "shared-Krylov engine tracks one stack-wide residual); use "
-                "the vmapped methods (e.g. method='cg') for per-system traces"
-            )
         return _solve_block(A, B, X0, m, params=params, M=M, monitor=monitor,
-                            is_complex=is_complex, check=check)
+                            trace_len=trace_len, is_complex=is_complex,
+                            check=check)
     fn, needs_M, needs_bounds = _resolve_engine(m, is_complex, A=A,
                                                 lmin=lmin, lmax=lmax,
                                                 restart=restart)

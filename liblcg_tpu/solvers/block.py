@@ -195,8 +195,6 @@ def block_cg(A, B, X0=None, *, M=None, params=SolverParams(), monitor=None,
     M⁻¹ row-wise.  Returns the harness-shaped carry: per-system ``t``,
     ``status``, ``residual`` (all (s,)) and the (s, n) solution ``x``.
     """
-    if trace_len > 0:
-        raise ValueError("trace_len > 0 is not supported for block solves")
     B = jnp.asarray(B)
     s = B.shape[0]
     X = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, dtype=B.dtype)
@@ -220,6 +218,10 @@ def block_cg(A, B, X0=None, *, M=None, params=SolverParams(), monitor=None,
         t=jnp.zeros((s, 1), jnp.int32),
         status=H.running_status(),
         residual=jnp.zeros((s, 1), R.real.dtype),
+        # Per-system residual trace rows, like every other batched path
+        # (the lcg.h:53-54 progress contract per right-hand side).
+        trace=(jnp.zeros((s, trace_len), R.real.dtype)
+               if trace_len > 0 else None),
     )
 
     def row_sq(V):
@@ -251,6 +253,9 @@ def block_cg(A, B, X0=None, *, M=None, params=SolverParams(), monitor=None,
         return jnp.any(top_checks(c)[0])
 
     def body_fn(c):
+        if c["trace"] is not None:
+            c = dict(c, trace=H.record_trace(c["trace"], c["t"],
+                                             residual_fn(c)))
         alive = top_checks(c)[0]                      # (s, 1) bool
         a = alive.astype(B.dtype)
         Rm = c["R"] * a
@@ -307,6 +312,9 @@ def block_cg(A, B, X0=None, *, M=None, params=SolverParams(), monitor=None,
             ),
         ),
     ).astype(jnp.int32)
+    if carry["trace"] is not None:
+        carry = dict(carry, trace=H.record_trace(carry["trace"], carry["t"],
+                                                 res))
     carry = dict(carry, status=status.reshape(-1), residual=res.reshape(-1),
                  t=carry["t"].reshape(-1))
     return H.finalize(carry)
