@@ -725,18 +725,46 @@ def bench_case10kc():
     ok_t = bool(lcg.Status(int(res_t.status_code)) == lcg.Status.CONVERGENCE
                 and true_res_t <= 5e-6)
 
+    # Whole-solve df64 VMEM kernel (round 5): the pair-PCG recurrence as
+    # ONE Pallas kernel — double-float arithmetic (ops/df64.py) on
+    # (8, L)-layout VMEM vectors + the permuted dense corner block.
+    # df64's 49-bit mantissa shifts the count ~10% on this spectrum
+    # (407 vs 366) at equal answer quality; device time by the
+    # two-fixed-work wall difference (shared RTT cancels).
+    from liblcg_tpu.ops.pallas_pairs import ScatteredPairKernelPlan
+
+    plan = ScatteredPairKernelPlan(n, s.rows, s.cols, s.vals)
+    res_k = plan.solve(s.b, params=p)
+    iters_k = int(res_k[1])
+    md_k = float(np.max(np.abs(res_k[0] - answer)))
+
+    def wall_fixed(it, reps=6):
+        pw = lcg.SolverParams(epsilon=1e-30, abs_diff=1, max_iterations=it)
+        plan.solve(s.b, params=pw)  # compile
+        return _best(lambda: plan.solve(s.b, params=pw), reps=reps,
+                     sync=lambda r: np.asarray(r[0][:2]))
+
+    it_lo, it_hi = 25, 425
+    w_lo = wall_fixed(it_lo)
+    w_hi = wall_fixed(it_hi)
+    dev_k = ((w_hi - w_lo) / (it_hi - it_lo) * iters_k
+             if w_hi > w_lo else None)
+
     out = {"direct_wall_ms": direct_wall * 1e3, "direct_max_diff": direct_md,
            "k_coupled": D.k,
            "pairs_pcg_iterations": iters, "pairs_pcg_wall_ms": wall * 1e3,
            "pairs_pcg_max_diff": md,
            "tfqmr_iterations": iters_t, "tfqmr_max_diff": md_t,
            "tfqmr_true_residual": true_res_t,
+           "pallas_pcg_iterations": iters_k, "pallas_pcg_max_diff": md_k,
            "ok": bool(res.converged and md < 0.1 and direct_md < 1e-10
-                      and ok_t)}
+                      and ok_t and md_k < 0.1)}
     if dev is not None:
         out["pairs_pcg_device_ms"] = dev * 1e3
     if dev_t is not None:
         out["tfqmr_device_ms"] = dev_t * 1e3
+    if dev_k is not None:
+        out["pallas_pcg_device_ms"] = dev_k * 1e3
     return out
 
 
@@ -1543,6 +1571,15 @@ def main():
             if tfqmr_base:
                 out["case10kc_tfqmr_vs_baseline"] = round(
                     tfqmr_base / c10kc["tfqmr_device_ms"], 2)
+        if "pallas_pcg_iterations" in c10kc:
+            out["case10kc_pallas_pcg_iterations"] = c10kc[
+                "pallas_pcg_iterations"]
+        if "pallas_pcg_device_ms" in c10kc:
+            out["case10kc_pallas_pcg_device_ms"] = round(
+                c10kc["pallas_pcg_device_ms"], 2)
+            if c10kc_base:
+                out["case10kc_pallas_vs_baseline"] = round(
+                    c10kc_base / c10kc["pallas_pcg_device_ms"], 2)
         out["case10kc_ok"] = c10kc["ok"]
     gm = _valid(r.get("gmresminres"), "minres_iterations", "gmres_products",
                 "ok")

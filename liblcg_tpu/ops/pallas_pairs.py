@@ -1,0 +1,417 @@
+"""Whole-solve VMEM kernel for the pair-complex Jacobi-PCG engine.
+
+The pair engines (solvers/cplx_pairs.py) run the reference's complex
+recurrences on a complex-less chip, but as XLA while-loops they are
+launch-floor-bound: ~80 us/iteration at n=10K, traced to ~7 serialized
+fusions x the emulated-f64 tiny-reduction tax (CLAUDE.md; VERDICT r4
+weak #2).  The real-domain answer — one Pallas kernel holding the whole
+solver state in VMEM (ops/pallas_cg.py, 0.48 -> 0.13 ms) — applies, with
+one twist: Mosaic has no f64, and plain f32 loses the iteration-count
+parity this path exists for (measured 366 -> 2203 on case_10K_cA).  The
+kernel therefore runs the ENTIRE recurrence in **df64 double-float
+arithmetic** (ops/df64.py: error-free two_sum/two_prod transforms,
+~49-bit mantissa from pure f32 elementwise ops) — f64-class accuracy at
+VPU f32 rates, zero launches.
+
+Operator form: the flagship complex workload (case_10K_cA,
+sample6.cpp:162-195) is diagonal + k scattered couplings.  TPU kernels
+cannot gather efficiently, so the system is host-PERMUTED to put the k
+coupled indices first; the couplings then form a dense (kp, kp) corner
+block and the product is
+
+    y = diag(d) * x   +   [C @ x[:kp]  in the first kp lanes]
+
+— all static slices, no gathers (the same trick as the Woodbury direct
+solver's coupling block, solvers/direct.py, applied to the iterative
+path).  Vectors are lane-padded to a power of two so every df64 dot
+reduces by clean halving.
+
+Reference path matched: clcg_eigen.cpp:577-683 (complex-symmetric PCG,
+unconjugated d_new) == solvers/cplx_pairs.pcg_pairs, as one kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import df64 as df
+
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def fits_in_vmem_pairs(n_pad: int, kp: int) -> bool:
+    """Census: 4 df64 complex vectors (x/r/d/s = 16 (1, n) f32 rows),
+    operator diag + inv-diag (8 rows), b (4 rows), corner blocks
+    (8 (kp, kp) f32), plus reduction temporaries (~8 rows)."""
+    vec_bytes = (16 + 8 + 4 + 8) * n_pad * 4
+    corner_bytes = 8 * kp * kp * 4
+    return (vec_bytes + corner_bytes) < 0.5 * _VMEM_LIMIT_BYTES
+
+
+# --------------------------------------------------------------------------
+# df64 helpers shaped for the kernel: values are (hi, lo) tuples of (1, n)
+# f32 arrays; reductions fold the lane axis by halving (n is a power of 2).
+# --------------------------------------------------------------------------
+
+
+def _fold_lanes(p):
+    """Compensated lane-fold of a df64 row-stack: (g, n) pairs ->
+    (g, 1) pairs, log2(n) halving df64 adds."""
+    hi, lo = p
+    n = hi.shape[-1]
+    while n > 1:
+        half = n // 2
+        hi, lo = df.add((hi[:, :half], lo[:, :half]),
+                        (hi[:, half:], lo[:, half:]))
+        n = half
+    return hi, lo
+
+
+def _fold_all(p):
+    """(s, n) df64 pairs -> (1, 1) pair: lane halving then sublane
+    halving (both dims powers of two)."""
+    hi, lo = _fold_lanes(p)
+    s = hi.shape[0]
+    while s > 1:
+        half = s // 2
+        hi, lo = df.add((hi[:half], lo[:half]), (hi[half:], lo[half:]))
+        s = half
+    return hi, lo
+
+
+def _cmulv(ar, ai, br, bi):
+    """Elementwise complex multiply of df64 pair-vectors: returns
+    (re, im) df64 pairs."""
+    re = df.sub(df.mul(ar, br), df.mul(ai, bi))
+    im = df.add(df.mul(ai, br), df.mul(ar, bi))
+    return re, im
+
+
+def _sdiv(nr, ni, dr_, di_):
+    """Complex scalar division (df64 pairs): (nr + i ni) / (dr + i di)."""
+    den = df.add(df.mul(dr_, dr_), df.mul(di_, di_))
+    qr = df.div(df.add(df.mul(nr, dr_), df.mul(ni, di_)), den)
+    qi = df.div(df.sub(df.mul(ni, dr_), df.mul(nr, di_)), den)
+    return qr, qi
+
+
+def _caxpy(sr, si, vr, vi, wr, wi):
+    """w + s*v for a df64 complex scalar s ((1,1) pairs) and df64 complex
+    vectors: returns (re, im) pairs.  The scalar is extracted to 0-d so
+    the multiply lowers as a vector-scalar splat (Mosaic has no
+    (1,1) -> (8, L) vector broadcast)."""
+    s_r = (sr[0][0, 0], sr[1][0, 0])
+    s_i = (si[0][0, 0], si[1][0, 0])
+    pr, pi = _cmulv(s_r, s_i, vr, vi)
+    return df.add(wr, pr), df.add(wi, pi)
+
+
+def _pair_pcg_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
+                     diag_ref, minv_ref, corner_ref, b_ref,
+                     x_out, t_out, res_out):
+    """df64 pair-PCG, whole state VMEM-resident.
+
+    Long vectors live in an (8, L) layout (L = n_pad / 8) so every
+    elementwise df64 op uses all 8 sublanes — the (1, n) layout of the
+    f32 kernels wastes 7/8 of each vreg, which at df64's ~15-op
+    multiplies dominated the iteration (measured 61 us/iter before this
+    layout, CLAUDE.md sublane note).  The permuted corner block's
+    operand x[:kp] is row 0's first kp lanes (static slices); its
+    product folds to a (kp, 1) column and transposes back to a row
+    (Mosaic lowers small 2-D transposes).
+
+    ``diag_ref``/``minv_ref``/``b_ref``: (4, 8, L) =
+    [re_hi, re_lo, im_hi, im_lo] planes.  ``corner_ref``: (4, kp, kp) =
+    [Cr_hi, Cr_lo, Ci_hi, Ci_lo].  Output x: (4, 8, L).  x0 = 0 (the
+    engine's default; warm starts go through the XLA path).
+    """
+
+    def planes(ref, i):
+        return (ref[i], ref[i + 1])
+
+    DR, DI = planes(diag_ref, 0), planes(diag_ref, 2)
+    MR, MI = planes(minv_ref, 0), planes(minv_ref, 2)
+    BR, BI = planes(b_ref, 0), planes(b_ref, 2)
+    CR = (corner_ref[0], corner_ref[1])
+    CI = (corner_ref[2], corner_ref[3])
+
+    def apply_A(xr, xi):
+        yr, yi = _cmulv(DR, DI, xr, xi)
+        if kp > 0:
+            # Corner operand: row 0, first kp lanes (the permuted
+            # coupled indices), as (1, kp) rows.
+            xr_k = (xr[0][0:1, :kp], xr[1][0:1, :kp])
+            xi_k = (xi[0][0:1, :kp], xi[1][0:1, :kp])
+
+            def cmv(C, v):
+                # p[i, j] = C[i, j] * v[j] (v broadcast over sublanes),
+                # lane-fold -> y column (kp, 1).
+                p = df.mul(C, (jnp.broadcast_to(v[0], C[0].shape),
+                               jnp.broadcast_to(v[1], C[1].shape)))
+                return _fold_lanes(p)
+
+            crr = cmv(CR, xr_k)
+            cri = cmv(CR, xi_k)
+            cir = cmv(CI, xr_k)
+            cii = cmv(CI, xi_k)
+            add_r = df.sub(crr, cii)        # Cr xr - Ci xi   (kp, 1)
+            add_i = df.add(cir, cri)        # Ci xr + Cr xi
+            tr_ = lambda a: jnp.transpose(a, (1, 0))
+            add_r = (tr_(add_r[0]), tr_(add_r[1]))      # (1, kp) rows
+            add_i = (tr_(add_i[0]), tr_(add_i[1]))
+            new_r = df.add((yr[0][0:1, :kp], yr[1][0:1, :kp]), add_r)
+            new_i = df.add((yi[0][0:1, :kp], yi[1][0:1, :kp]), add_i)
+
+            def splice(y, new):
+                # Static-slice splice (Mosaic has no scatter lowering).
+                row0 = (jnp.concatenate([new[0], y[0][0:1, kp:]], axis=-1),
+                        jnp.concatenate([new[1], y[1][0:1, kp:]], axis=-1))
+                return (jnp.concatenate([row0[0], y[0][1:]], axis=0),
+                        jnp.concatenate([row0[1], y[1][1:]], axis=0))
+
+            yr = splice(yr, new_r)
+            yi = splice(yi, new_i)
+        return yr, yi
+
+    def pair_dot_rows(ar, ai, br, bi):
+        """Unconjugated complex dot products, UNREDUCED (8, L) planes:
+        re = ar br - ai bi, im = ar bi + ai br."""
+        re = df.sub(df.mul(ar, br), df.mul(ai, bi))
+        im = df.add(df.mul(ar, bi), df.mul(ai, br))
+        return re, im
+
+    zero = df.zeros((8, n_pad // 8))
+    # x0 = 0 -> r0 = b, d0 = M r0, d_new0 = <r0, d0>_u.
+    xr, xi = zero, zero
+    rr_, ri_ = BR, BI
+    dr_, di_ = _cmulv(MR, MI, rr_, ri_)
+
+    dn_re, dn_im = pair_dot_rows(rr_, ri_, dr_, di_)
+    rsq = df.add(df.mul(rr_, rr_), df.mul(ri_, ri_))
+    dnr, dni, rksq = _fold_all(dn_re), _fold_all(dn_im), _fold_all(rsq)
+    msq = (jnp.ones((1, 1), jnp.float32), jnp.zeros((1, 1), jnp.float32))
+
+    def metric(rk_sq, m_sq):
+        # complex_residual semantics (clcg.cpp:112-147): ||r||^4 ratio.
+        r = df.to_array(rk_sq)[0, 0]
+        m = df.to_array(m_sq)[0, 0]
+        if abs_diff:
+            return r / n                      # sqrt(||r||^4)/n = ||r||^2/n
+        r4 = r * r
+        return r4 / jnp.maximum(m * m, 1.0)
+
+    def cond(c):
+        (xr, xi, rr_, ri_, dr_, di_, dnr, dni, rksq, msq, t) = c
+        return (metric(rksq, msq) > eps) & (t < max_iter)
+
+    def body(c):
+        (xr, xi, rr_, ri_, dr_, di_, dnr, dni, rksq, msq, t) = c
+        Ar, Ai = apply_A(dr_, di_)
+        da_re, da_im = pair_dot_rows(dr_, di_, Ar, Ai)
+        dAr, dAi = _fold_all(da_re), _fold_all(da_im)
+        akr, aki = _sdiv(dnr, dni, dAr, dAi)
+        xr, xi = _caxpy(akr, aki, dr_, di_, xr, xi)
+        nakr, naki = df.neg(akr), df.neg(aki)
+        rr_, ri_ = _caxpy(nakr, naki, Ar, Ai, rr_, ri_)
+        sr_, si_ = _cmulv(MR, MI, rr_, ri_)
+        dn_re, dn_im = pair_dot_rows(rr_, ri_, sr_, si_)
+        rsq = df.add(df.mul(rr_, rr_), df.mul(ri_, ri_))
+        xsq = df.add(df.mul(xr, xr), df.mul(xi, xi))
+        dnr2, dni2 = _fold_all(dn_re), _fold_all(dn_im)
+        rksq2, msq2 = _fold_all(rsq), _fold_all(xsq)
+        bkr, bki = _sdiv(dnr2, dni2, dnr, dni)
+        dr2, di2 = _caxpy(bkr, bki, dr_, di_, sr_, si_)
+        return (xr, xi, rr_, ri_, dr2, di2, dnr2, dni2, rksq2, msq2,
+                t + 1)
+
+    carry = (xr, xi, rr_, ri_, dr_, di_, dnr, dni, rksq, msq,
+             jnp.int32(0))
+    carry = lax.while_loop(cond, body, carry)
+    (xr, xi, rr_, ri_, dr_, di_, dnr, dni, rksq, msq, t) = carry
+    x_out[0] = xr[0]
+    x_out[1] = xr[1]
+    x_out[2] = xi[0]
+    x_out[3] = xi[1]
+    t_out[0, 0] = t
+    res_out[0, 0] = metric(rksq, msq)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "n_pad", "kp", "eps", "max_iter", "abs_diff",
+                     "interpret"),
+)
+def pallas_pair_pcg(
+    diag4: jnp.ndarray,      # (4, n_pad) f32: [dr_hi, dr_lo, di_hi, di_lo]
+    minv4: jnp.ndarray,      # (4, n_pad) f32: 1/diag, same packing
+    corner4: jnp.ndarray,    # (4, kp, kp) f32: [Cr_hi, Cr_lo, Ci_hi, Ci_lo]
+    b4: jnp.ndarray,         # (4, n_pad) f32
+    *,
+    n: int,
+    n_pad: int,
+    kp: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Run the whole-solve df64 pair-PCG kernel.  Returns
+    (x4 (4, n_pad), iterations, residual)."""
+    L = n_pad // 8
+    if kp > L:
+        raise ValueError(f"corner block kp={kp} exceeds the lane width "
+                         f"L={L}; system too coupling-dense for the kernel")
+    kernel = functools.partial(
+        _pair_pcg_kernel, n, n_pad, kp, float(eps), max_iter, abs_diff)
+    x4, t, res = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, 8, L), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(diag4.reshape(4, 8, L), minv4.reshape(4, 8, L), corner4,
+      b4.reshape(4, 8, L))
+    return x4.reshape(4, n_pad), t[0, 0], res[0, 0]
+
+
+def _pack4(re_f64: np.ndarray, im_f64: np.ndarray, n_pad: int) -> np.ndarray:
+    """Host f64 (re, im) -> (4, n_pad) f32 [re_hi, re_lo, im_hi, im_lo]."""
+    out = np.zeros((4, n_pad), np.float32)
+    n = re_f64.shape[0]
+    rh = re_f64.astype(np.float32)
+    ih = im_f64.astype(np.float32)
+    out[0, :n] = rh
+    out[1, :n] = (re_f64 - rh.astype(np.float64)).astype(np.float32)
+    out[2, :n] = ih
+    out[3, :n] = (im_f64 - ih.astype(np.float64)).astype(np.float32)
+    return out
+
+
+def plan_from_scattered(A) -> "ScatteredPairKernelPlan":
+    """Build a kernel plan from a complex-valued
+    :class:`~liblcg_tpu.operators.ScatteredOperator`'s host data (the
+    operator keeps complex values host-side on complex-less backends).
+    The plan is cached on the operator."""
+    plan = getattr(A, "_pair_kernel_plan", None)
+    if plan is None:
+        n = A.shape[0]
+        rows = np.concatenate([np.arange(n), np.asarray(A.off_rows)])
+        cols = np.concatenate([np.arange(n), np.asarray(A.off_cols)])
+        vals = np.concatenate([np.asarray(A.diag), np.asarray(A.off_vals)])
+        plan = ScatteredPairKernelPlan(n, rows, cols, vals)
+        A._pair_kernel_plan = plan
+    return plan
+
+
+class ScatteredPairKernelPlan:
+    """Host-side preparation for :func:`pallas_pair_pcg` on a complex
+    :class:`~liblcg_tpu.operators.ScatteredOperator`-shaped system.
+
+    Permutes the coupled indices to the front (corner block), pads the
+    lane dimension to a power of two, packs diag / 1/diag / b / corner
+    into df64 f32 arrays, and unpacks the solution."""
+
+    def __init__(self, n: int, rows, cols, vals):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        if not np.iscomplexobj(vals):
+            vals = vals.astype(np.complex128)
+        dm = rows == cols
+        diag = np.zeros(n, np.complex128)
+        np.add.at(diag, rows[dm], vals[dm])
+        if np.any(diag == 0):
+            raise ValueError("pair-PCG kernel needs a nonzero diagonal "
+                             "(Jacobi preconditioner)")
+        orows, ocols, ovals = rows[~dm], cols[~dm], vals[~dm]
+        coupled = np.unique(np.concatenate([orows, ocols])) if len(orows) \
+            else np.zeros(0, np.int64)
+        k = len(coupled)
+        kp = max(_next_pow2(max(k, 1)), 8)
+        self.n = int(n)
+        self.n_pad = _next_pow2(int(n))
+        if not fits_in_vmem_pairs(self.n_pad, kp):
+            raise ValueError(
+                f"df64 pair-PCG state for n_pad={self.n_pad}, kp={kp} "
+                "exceeds the VMEM budget; use solve_realified")
+        self.kp = int(kp)
+        self.k = int(k)
+        # Permutation: coupled indices first.
+        perm = np.concatenate([
+            coupled, np.setdiff1d(np.arange(n), coupled)]).astype(np.int64)
+        self.perm = perm
+        self.inv_perm = np.argsort(perm)
+        pos = np.zeros(n, np.int64)
+        pos[perm] = np.arange(n)
+
+        dp = diag[perm]
+        C = np.zeros((kp, kp), np.complex128)
+        if len(orows):
+            np.add.at(C, (pos[orows], pos[ocols]), ovals)
+        # Padding lanes: unit diagonal (zero x/b there, never influences).
+        diag_pad = np.ones(self.n_pad, np.complex128)
+        diag_pad[:n] = dp
+        self.diag4 = jnp.asarray(_pack4(diag_pad.real, diag_pad.imag,
+                                        self.n_pad))
+        minv = 1.0 / diag_pad
+        self.minv4 = jnp.asarray(_pack4(minv.real, minv.imag, self.n_pad))
+        c4 = np.zeros((4, kp, kp), np.float32)
+        crh = C.real.astype(np.float32)
+        cih = C.imag.astype(np.float32)
+        c4[0] = crh
+        c4[1] = (C.real - crh.astype(np.float64)).astype(np.float32)
+        c4[2] = cih
+        c4[3] = (C.imag - cih.astype(np.float64)).astype(np.float32)
+        self.corner4 = jnp.asarray(c4)
+
+    def pack_b(self, b) -> jnp.ndarray:
+        b = np.asarray(b, np.complex128)[self.perm]
+        bp = np.zeros(self.n_pad, np.complex128)
+        bp[:self.n] = b
+        return jnp.asarray(_pack4(bp.real, bp.imag, self.n_pad))
+
+    def unpack_x(self, x4) -> np.ndarray:
+        a = np.asarray(x4, np.float64)
+        re = a[0] + a[1]
+        im = a[2] + a[3]
+        return (re + 1j * im)[:self.n][self.inv_perm]
+
+    def solve(self, b, *, params=None, interpret: bool = False):
+        """Jacobi-PCG to ``params`` tolerance; returns
+        (x complex (n,), iterations, residual)."""
+        from ..types import DEFAULT_PARAMS
+
+        params = params or DEFAULT_PARAMS
+        b4 = self.pack_b(b)
+        x4, t, res = pallas_pair_pcg(
+            self.diag4, self.minv4, self.corner4, b4,
+            n=self.n, n_pad=self.n_pad, kp=self.kp,
+            eps=params.epsilon,
+            max_iter=params.effective_max_iterations(),
+            abs_diff=bool(params.abs_diff), interpret=interpret)
+        return self.unpack_x(x4), t, res
