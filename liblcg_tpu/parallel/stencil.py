@@ -135,8 +135,22 @@ class ShardedLaplacian3D(LinearOperator):
         # (shard i+1); missing neighbors contribute zeros (Dirichlet).
         below = lax.ppermute(u[-1:], ax, perm=[(i, i + 1) for i in range(D - 1)])
         above = lax.ppermute(u[:1], ax, perm=[(i + 1, i) for i in range(D - 1)])
-        u_ext = jnp.concatenate([below, u, above], axis=0)
-        return _stencil_interior(u_ext).reshape(-1)
+        if self.nz_local < 3:
+            # Too thin for an interior: combined path.
+            u_ext = jnp.concatenate([below, u, above], axis=0)
+            return _stencil_interior(u_ext).reshape(-1)
+        # Interior/boundary split (SURVEY §2.9 'overlapped with local
+        # SpMV', structurally): the nz_local - 2 interior planes depend
+        # ONLY on u — the ppermutes feed just the two edge planes, so
+        # XLA's latency-hiding scheduler can run the bulk stencil between
+        # the permute start/done pair.  Per-cell arithmetic is identical
+        # to the combined path (same neighbor-add order): bit-equal.
+        y_int = _stencil_interior(u)                    # planes 1..nz-2
+        y_top = _stencil_interior(
+            jnp.concatenate([below, u[:2]], axis=0))    # plane 0
+        y_bot = _stencil_interior(
+            jnp.concatenate([u[-2:], above], axis=0))   # plane nz-1
+        return jnp.concatenate([y_top, y_int, y_bot], axis=0).reshape(-1)
 
     def rmv(self, x):
         return self.mv(x)
@@ -441,12 +455,24 @@ class ShardedStencil3D(LinearOperator):
         u = x.reshape(self.nz_local, ny, nx)
         below = lax.ppermute(u[-1:], ax, perm=[(i, i + 1) for i in range(D - 1)])
         above = lax.ppermute(u[:1], ax, perm=[(i + 1, i) for i in range(D - 1)])
-        u_ext = jnp.concatenate([below, u, above], axis=0)
         shape_l = (self.nz_local, ny, nx)
         coeffs = [c.reshape(shape_l) for c in
                   (self.c0, self.cxm, self.cxp, self.cym, self.cyp,
                    self.czm, self.czp)]
-        return _variable_stencil(u_ext, *coeffs).reshape(-1)
+        if self.nz_local < 3:
+            u_ext = jnp.concatenate([below, u, above], axis=0)
+            return _variable_stencil(u_ext, *coeffs).reshape(-1)
+        # Interior/boundary split, exactly as ShardedLaplacian3D.mv: the
+        # bulk product is collective-free, only the two edge planes read
+        # the ppermuted halos.
+        y_int = _variable_stencil(u, *[c[1:-1] for c in coeffs])
+        y_top = _variable_stencil(
+            jnp.concatenate([below, u[:2]], axis=0),
+            *[c[:1] for c in coeffs])
+        y_bot = _variable_stencil(
+            jnp.concatenate([u[-2:], above], axis=0),
+            *[c[-1:] for c in coeffs])
+        return jnp.concatenate([y_top, y_int, y_bot], axis=0).reshape(-1)
 
     def diagonal(self):
         return self.c0

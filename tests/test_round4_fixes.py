@@ -307,8 +307,13 @@ def test_solve_sequence_batched(spd):
         lcg.solve_sequence(op, B0, nxt, K, method="cacg")
 
 
-def test_block_solve_trace_raises(spd):
+def test_block_solve_trace_records(spd):
+    # Round 4 rejected trace_len for block solves; round 5 implemented
+    # per-system rows (the lcg.h:53-54 progress contract) — see
+    # test_round5_fixes.test_block_cg_records_per_system_traces.
+    import numpy as np
+
     A, B, _ = spd
-    with pytest.raises(ValueError, match="block"):
-        lcg.solve_batched(lcg.DenseOperator(A), B, method="block_cg",
+    r = lcg.solve_batched(lcg.DenseOperator(A), B, method="block_cg",
                           params=PARAMS, trace_len=8)
+    assert np.asarray(r.trace).shape == (B.shape[0], 8)

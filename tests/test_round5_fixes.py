@@ -89,6 +89,105 @@ def test_block_cg_records_per_system_traces():
                                rtol=1e-6)
 
 
+# --- halo/compute overlap structure (VERDICT r4 weak #3 / next #6) ---------
+
+
+def _banded_real(n):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    main = 4.0 + rng.uniform(0, 1, n)
+    off = rng.uniform(-1, 1, n - 1)
+    off2 = rng.uniform(-0.5, 0.5, n - 2)
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n),
+                           np.arange(n - 2), np.arange(2, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1),
+                           np.arange(2, n), np.arange(n - 2)])
+    vals = np.concatenate([main, off, off, off2, off2])
+    return rows, cols, vals
+
+
+def test_banded_halo_split_product_matches_dense():
+    """The split sharded DIA product equals the assembled matrix product,
+    and the interior rows are computable from the LOCAL shard alone (the
+    by-construction overlap guarantee: _interior_mv contains no
+    collective — it runs here outside any mesh)."""
+    import numpy as np
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    import liblcg_tpu as lcg
+
+    n, D = 64, 8
+    rows, cols, vals = _banded_real(n)
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+    Ab = lcg.parallel.ShardedBandedOperator(n, rows, cols, vals,
+                                            n_devices=D)
+    assert Ab.halo != (0, 0)
+    x = np.linspace(-1, 1, n)
+
+    mesh = lcg.make_mesh(D)
+    y = jax.jit(jax.shard_map(
+        lambda A_l, x_l: A_l.mv(x_l), mesh=mesh,
+        in_specs=(jax.tree.map(lambda l: P("rows") if getattr(
+            l, "ndim", 0) >= 1 and l.shape[0] == Ab.n_padded else P(), Ab),
+            P("rows")),
+        out_specs=P("rows")))(Ab, x)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-12)
+
+    # Interior product, collective-free by construction: shard 2's rows.
+    h_l, h_r = Ab.halo
+    nl = Ab.n_local
+    sh = 2
+    vals_l = np.asarray(Ab.dia_vals)[sh * nl:(sh + 1) * nl]
+    import jax.numpy as jnp
+
+    y_int = Ab._interior_mv(jnp.asarray(x[sh * nl:(sh + 1) * nl]),
+                            jnp.asarray(vals_l))
+    np.testing.assert_allclose(
+        np.asarray(y_int),
+        (dense @ x)[sh * nl + h_l:(sh + 1) * nl - h_r], rtol=1e-12)
+
+
+def test_stencil_halo_split_product_matches_single_device():
+    """Sharded Laplacian/variable-stencil products after the
+    interior/boundary split equal the single-device operators exactly."""
+    import numpy as np
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    import liblcg_tpu as lcg
+
+    nz, ny, nx, D = 24, 4, 4, 8
+    assert nz // D == 3   # exactly the minimum interior
+    S = lcg.ShardedLaplacian3D(nz, ny, nx, n_devices=D, dtype=np.float64)
+    L = lcg.Laplacian3DOperator(nz, ny, nx, dtype=np.float64)
+    x = np.linspace(-1, 1, nz * ny * nx)
+    mesh = lcg.make_mesh(D)
+    run = jax.jit(jax.shard_map(
+        lambda A_l, x_l: A_l.mv(x_l), mesh=mesh,
+        in_specs=(jax.tree.map(lambda l: P(), S), P("rows")),
+        out_specs=P("rows")))
+    np.testing.assert_allclose(np.asarray(run(S, x)),
+                               np.asarray(L.mv(x)), rtol=1e-14, atol=1e-14)
+
+    rng = np.random.default_rng(3)
+    kappa = rng.uniform(0.5, 2.0, (nz, ny, nx))
+    St = lcg.Stencil3DOperator.diffusion(kappa, dtype=np.float64)
+    Ss = lcg.ShardedStencil3D(St, n_devices=D)
+    run2 = jax.jit(jax.shard_map(
+        lambda A_l, x_l: A_l.mv(x_l), mesh=mesh,
+        in_specs=(jax.tree.map(
+            lambda l: P("rows") if getattr(l, "ndim", 0) == 1 else P(), Ss),
+            P("rows")),
+        out_specs=P("rows")))
+    # Same per-cell operation order; separately compiled programs may
+    # differ by compiler FMA contraction (1 ulp), never by the split.
+    np.testing.assert_allclose(np.asarray(run2(Ss, x)),
+                               np.asarray(St.mv(x)), rtol=1e-14, atol=1e-14)
+
+
 def test_block_cg_traces_sharded():
     import numpy as np
 
