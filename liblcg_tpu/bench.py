@@ -750,6 +750,27 @@ def bench_case10kc():
     dev_k = ((w_hi - w_lo) / (it_hi - it_lo) * iters_k
              if w_hi > w_lo else None)
 
+    # df64 TFQMR kernel (round 5): same treatment.
+    res_tk = plan.solve_tfqmr(s.b, params=p)
+    iters_tk = int(res_tk[1])
+    md_tk = float(np.max(np.abs(res_tk[0] - answer)))
+    ax_tk = np.zeros(n, complex)
+    np.add.at(ax_tk, s.rows,
+              np.asarray(s.vals) * np.asarray(res_tk[0])[s.cols])
+    true_res_tk = float(np.sum(np.abs(np.asarray(s.b) - ax_tk) ** 2)) / n
+    ok_tk = bool(int(res_tk[3]) == 0 and true_res_tk <= 5e-6)
+
+    def wall_tfqmr(it, reps=5):
+        pw = lcg.SolverParams(epsilon=1e-30, abs_diff=1, max_iterations=it)
+        plan.solve_tfqmr(s.b, params=pw)
+        return _best(lambda: plan.solve_tfqmr(s.b, params=pw), reps=reps,
+                     sync=lambda r: np.asarray(r[0][:2]))
+
+    wt_lo = wall_tfqmr(100)
+    wt_hi = wall_tfqmr(1500)
+    dev_tk = ((wt_hi - wt_lo) / 1400.0 * iters_tk
+              if wt_hi > wt_lo else None)
+
     out = {"direct_wall_ms": direct_wall * 1e3, "direct_max_diff": direct_md,
            "k_coupled": D.k,
            "pairs_pcg_iterations": iters, "pairs_pcg_wall_ms": wall * 1e3,
@@ -757,14 +778,19 @@ def bench_case10kc():
            "tfqmr_iterations": iters_t, "tfqmr_max_diff": md_t,
            "tfqmr_true_residual": true_res_t,
            "pallas_pcg_iterations": iters_k, "pallas_pcg_max_diff": md_k,
+           "pallas_tfqmr_iterations": iters_tk,
+           "pallas_tfqmr_max_diff": md_tk,
+           "pallas_tfqmr_true_residual": true_res_tk,
            "ok": bool(res.converged and md < 0.1 and direct_md < 1e-10
-                      and ok_t and md_k < 0.1)}
+                      and ok_t and md_k < 0.1 and ok_tk)}
     if dev is not None:
         out["pairs_pcg_device_ms"] = dev * 1e3
     if dev_t is not None:
         out["tfqmr_device_ms"] = dev_t * 1e3
     if dev_k is not None:
         out["pallas_pcg_device_ms"] = dev_k * 1e3
+    if dev_tk is not None:
+        out["pallas_tfqmr_device_ms"] = dev_tk * 1e3
     return out
 
 
@@ -1114,6 +1140,8 @@ _COMPACT_MAP = (
     ("case10kc_tfqmr_vs_baseline", "c10kc_tfqmr_x"),
     ("case10kc_pallas_pcg_device_ms", "c10kc_pal_ms"),
     ("case10kc_pallas_vs_baseline", "c10kc_pal_x"),
+    ("case10kc_pallas_tfqmr_device_ms", "c10kc_pal_tf_ms"),
+    ("case10kc_pallas_tfqmr_vs_baseline", "c10kc_pal_tf_x"),
     ("gmres_us_per_product", "gmres_us_prod"),
     ("gmres_f32_us_per_product", "gmres_f32_us_prod"),
     ("gmres_products_to_eps", "gmres_prods"),
@@ -1580,6 +1608,17 @@ def main():
             if c10kc_base:
                 out["case10kc_pallas_vs_baseline"] = round(
                     c10kc_base / c10kc["pallas_pcg_device_ms"], 2)
+        if "pallas_tfqmr_iterations" in c10kc:
+            out["case10kc_pallas_tfqmr_iterations"] = c10kc[
+                "pallas_tfqmr_iterations"]
+        if "pallas_tfqmr_device_ms" in c10kc:
+            out["case10kc_pallas_tfqmr_device_ms"] = round(
+                c10kc["pallas_tfqmr_device_ms"], 2)
+            tb = baseline.get("case_10K_complex", {}).get(
+                "best_ms", {}).get("tfqmr")
+            if tb:
+                out["case10kc_pallas_tfqmr_vs_baseline"] = round(
+                    tb / c10kc["pallas_tfqmr_device_ms"], 2)
         out["case10kc_ok"] = c10kc["ok"]
     gm = _valid(r.get("gmresminres"), "minres_iterations", "gmres_products",
                 "ok")

@@ -121,6 +121,28 @@ def _caxpy(sr, si, vr, vi, wr, wi):
     return df.add(wr, pr), df.add(wi, pi)
 
 
+def _df_sqrt(x):
+    """df64 square root: f32 estimate + one df64 Newton step
+    (24 -> ~48 correct bits); 0 maps to 0."""
+    y0 = jnp.sqrt(x[0])
+    safe = jnp.where(y0 > 0, y0, 1.0)
+    y = (safe, jnp.zeros_like(safe))
+    y = df.mul_pow2(df.add(y, df.div(x, y)), 0.5)
+    return (jnp.where(y0 > 0, y[0], 0.0), jnp.where(y0 > 0, y[1], 0.0))
+
+
+def _swhere(cond, new, old):
+    """Scalar-pair select by a 0-d predicate."""
+    return (jnp.where(cond, new[0], old[0]),
+            jnp.where(cond, new[1], old[1]))
+
+
+def _vwhere(cond, new, old):
+    """Vector-pair select by a 0-d predicate (broadcast splat)."""
+    return (jnp.where(cond, new[0], old[0]),
+            jnp.where(cond, new[1], old[1]))
+
+
 def _pair_pcg_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
                      diag_ref, minv_ref, corner_ref, b_ref,
                      x_out, t_out, res_out):
@@ -249,6 +271,250 @@ def _pair_pcg_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
     x_out[3] = xi[1]
     t_out[0, 0] = t
     res_out[0, 0] = metric(rksq, msq)
+
+
+def _pair_tfqmr_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
+                       diag_ref, corner_ref, b_ref, rbar_ref,
+                       x_out, t_out, res_out, st_out):
+    """df64 pair-TFQMR, whole state VMEM-resident.
+
+    Mirrors solvers/cplx_pairs.tfqmr_pairs (clcg.cpp:681-882): tau/omega
+    start at ||r0||^2, both half-step checks read the residual refreshed
+    only after the pair, t counts half steps; half-step exits are
+    straight-line scalar selects.  Unpreconditioned (the reference's
+    native TFQMR takes no M).  ``rbar_ref``: (2, 8, L) df64 planes of
+    the REAL-positive shadow residual (imag part is identically zero,
+    so the conjugated dot needs only two product rows).
+    """
+
+    def planes(ref, i):
+        return (ref[i], ref[i + 1])
+
+    DR, DI = planes(diag_ref, 0), planes(diag_ref, 2)
+    BR, BI = planes(b_ref, 0), planes(b_ref, 2)
+    RB = planes(rbar_ref, 0)
+    CR = (corner_ref[0], corner_ref[1])
+    CI = (corner_ref[2], corner_ref[3])
+    L = n_pad // 8
+
+    def apply_A(xr, xi):
+        yr, yi = _cmulv(DR, DI, xr, xi)
+        if kp > 0:
+            xr_k = (xr[0][0:1, :kp], xr[1][0:1, :kp])
+            xi_k = (xi[0][0:1, :kp], xi[1][0:1, :kp])
+
+            def cmv(C, v):
+                p = df.mul(C, (jnp.broadcast_to(v[0], C[0].shape),
+                               jnp.broadcast_to(v[1], C[1].shape)))
+                return _fold_lanes(p)
+
+            crr, cri = cmv(CR, xr_k), cmv(CR, xi_k)
+            cir, cii = cmv(CI, xr_k), cmv(CI, xi_k)
+            tr_ = lambda a: jnp.transpose(a, (1, 0))
+            add_r = df.sub(crr, cii)
+            add_i = df.add(cir, cri)
+            add_r = (tr_(add_r[0]), tr_(add_r[1]))
+            add_i = (tr_(add_i[0]), tr_(add_i[1]))
+            new_r = df.add((yr[0][0:1, :kp], yr[1][0:1, :kp]), add_r)
+            new_i = df.add((yi[0][0:1, :kp], yi[1][0:1, :kp]), add_i)
+
+            def splice(y, new):
+                row0 = (jnp.concatenate([new[0], y[0][0:1, kp:]], axis=-1),
+                        jnp.concatenate([new[1], y[1][0:1, kp:]], axis=-1))
+                return (jnp.concatenate([row0[0], y[0][1:]], axis=0),
+                        jnp.concatenate([row0[1], y[1][1:]], axis=0))
+
+            yr = splice(yr, new_r)
+            yi = splice(yi, new_i)
+        return yr, yi
+
+    def dot_rb(vr, vi):
+        """<rbar0, v>_c with a real shadow: (sum rb*vr, sum rb*vi)."""
+        return _fold_all(df.mul(RB, vr)), _fold_all(df.mul(RB, vi))
+
+    def sq(vr, vi):
+        return _fold_all(df.add(df.mul(vr, vr), df.mul(vi, vi)))
+
+    # In-kernel status sentinels: -1 RUNNING, 0 CONVERGENCE,
+    # 1 REACHED_MAX_ITERATIONS, 2 NAN_VALUE (mapped by the caller).
+    zero = df.zeros((8, L))
+    one = (jnp.ones((1, 1), jnp.float32), jnp.zeros((1, 1), jnp.float32))
+    szero = (jnp.zeros((1, 1), jnp.float32), jnp.zeros((1, 1), jnp.float32))
+    xr, xi = zero, zero
+    rr_, ri_ = BR, BI                       # r0 = b (x0 = 0)
+    rk_inner = sq(rr_, ri_)                 # ||r0||^2
+    rhor, rhoi = dot_rb(rr_, ri_)
+
+    def metric(rk_sq4, m_sq4):
+        r = df.to_array(rk_sq4)[0, 0]
+        if abs_diff:
+            return jnp.sqrt(r) / n
+        return r / jnp.maximum(df.to_array(m_sq4)[0, 0], 1.0)
+
+    # carry: vectors x, r, p, u, q, d (pairs of pairs) + scalars.
+    carry = (xr, xi, rr_, ri_, rr_, ri_, rr_, ri_,      # x, r, p, u
+             zero, zero, zero, zero,                    # q, d
+             rhor, rhoi,                                # rho
+             rk_inner,                                  # rk_mod = ||r||^2
+             df.mul(rk_inner, rk_inner),                # rk_sq  = ||r||^4
+             one,                                       # m_sq4
+             szero,                                     # theta
+             rk_inner,                                  # tao
+             szero, szero,                              # eta (re, im)
+             jnp.int32(0), jnp.int32(-1))               # t, status(-1=RUN)
+
+    def cond(c):
+        t, status = c[-2], c[-1]
+        return (status == -1) & (t <= max_iter)
+
+    def verdict(res, t):
+        # monitor-free: eps -> max-iter order (clcg.cpp half checks).
+        return jnp.where(
+            res <= eps, 0,
+            jnp.where((max_iter > 0) & (t + 1 > max_iter), 1, -1)
+        ).astype(jnp.int32)
+
+    def body(c):
+        (xr, xi, rr_, ri_, pr, pi, ur, ui, qr, qi, dr_, di_,
+         rhor, rhoi, rk_mod, rk_sq, m_sq4, theta, tao, etar, etai,
+         t, status) = c
+        vr, vi = apply_A(pr, pi)
+        sgr, sgi = dot_rb(vr, vi)
+        alr, ali = _sdiv(rhor, rhoi, sgr, sgi)
+        nalr, nali = df.neg(alr), df.neg(ali)
+        qr, qi = _caxpy(nalr, nali, vr, vi, ur, ui)
+        uqr, uqi = df.add(ur, qr), df.add(ui, qi)
+        Ar, Ai = apply_A(uqr, uqi)
+        rr_, ri_ = _caxpy(nalr, nali, Ar, Ai, rr_, ri_)
+        rk_mod2 = sq(rr_, ri_)
+
+        res1 = metric(rk_sq, m_sq4)     # stale, as the reference reads it
+
+        def half(j, alive, xr, xi, dr_, di_, theta, tao, etar, etai,
+                 m_sq4, t):
+            s_r, s_i = _sdiv(etar, etai, alr, ali)
+            th2 = df.mul(theta, theta)
+            sgnr, sgni = df.mul(th2, s_r), df.mul(th2, s_i)
+            if j == 1:
+                omega = _df_sqrt(df.mul(rk_mod, rk_mod2))
+                dnr, dni = _caxpy(sgnr, sgni, dr_, di_, ur, ui)
+            else:
+                omega = rk_mod2
+                dnr, dni = _caxpy(sgnr, sgni, dr_, di_, qr, qi)
+            th_n = df.div(omega, tao)
+            den = df.add(one, df.mul(th_n, th_n))
+            tao_n = df.div(omega, _df_sqrt(den))
+            et_nr, et_ni = df.div(alr, den), df.div(ali, den)
+            x_nr, x_ni = _caxpy(et_nr, et_ni, dnr, dni, xr, xi)
+            xsq = sq(x_nr, x_ni)
+            msq_n = df.mul(xsq, xsq)
+            msq_n = _swhere(msq_n[0] < 1.0, one, msq_n)
+            sel_s = lambda nw, od: _swhere(alive, nw, od)
+            sel_v = lambda nw, od: _vwhere(alive, nw, od)
+            return (sel_v(x_nr, xr), sel_v(x_ni, xi),
+                    sel_v(dnr, dr_), sel_v(dni, di_),
+                    sel_s(th_n, theta), sel_s(tao_n, tao),
+                    sel_s(et_nr, etar), sel_s(et_ni, etai),
+                    sel_s(msq_n, m_sq4),
+                    t + alive.astype(jnp.int32))
+
+        v1 = verdict(res1, t)
+        a1 = v1 == -1
+        (xr, xi, dr_, di_, theta, tao, etar, etai, m_sq4, t) = half(
+            1, a1, xr, xi, dr_, di_, theta, tao, etar, etai, m_sq4, t)
+
+        res2 = metric(rk_sq, m_sq4)
+        res = jnp.where(a1, res2, res1)
+        v2 = verdict(res, t)
+        a2 = a1 & (v2 == -1)
+        (xr, xi, dr_, di_, theta, tao, etar, etai, m_sq4, t) = half(
+            2, a2, xr, xi, dr_, di_, theta, tao, etar, etai, m_sq4, t)
+
+        rho2r, rho2i = dot_rb(rr_, ri_)
+        bkr, bki = _sdiv(rho2r, rho2i, rhor, rhoi)
+        u_nr, u_ni = _caxpy(bkr, bki, qr, qi, rr_, ri_)
+        t1r, t1i = _caxpy(bkr, bki, pr, pi, qr, qi)
+        p_nr, p_ni = _caxpy(bkr, bki, t1r, t1i, u_nr, u_ni)
+        sel_s = lambda nw, od: _swhere(a2, nw, od)
+        sel_v = lambda nw, od: _vwhere(a2, nw, od)
+        ur, ui = sel_v(u_nr, ur), sel_v(u_ni, ui)
+        pr, pi = sel_v(p_nr, pr), sel_v(p_ni, pi)
+        rhor, rhoi = sel_s(rho2r, rhor), sel_s(rho2i, rhoi)
+        rk_mod = sel_s(rk_mod2, rk_mod)
+        rk_sq = sel_s(df.mul(rk_mod2, rk_mod2), rk_sq)
+
+        status = jnp.where(~a1, v1, jnp.where(~a2, v2, -1)).astype(jnp.int32)
+        status = jnp.where(jnp.isnan(rk_mod2[0][0, 0]) & (status == -1),
+                           2, status).astype(jnp.int32)
+        return (xr, xi, rr_, ri_, pr, pi, ur, ui, qr, qi, dr_, di_,
+                rhor, rhoi, rk_mod, rk_sq, m_sq4, theta, tao, etar, etai,
+                t, status)
+
+    # ALREADY_OPTIMIZED short-circuit.
+    res0 = metric(carry[15], carry[16])
+    carry = carry[:-1] + (jnp.where(res0 <= eps, 0, -1).astype(jnp.int32),)
+    carry = lax.while_loop(cond, body, carry)
+    (xr, xi, rr_, ri_, pr, pi, ur, ui, qr, qi, dr_, di_,
+     rhor, rhoi, rk_mod, rk_sq, m_sq4, theta, tao, etar, etai,
+     t, status) = carry
+    x_out[0] = xr[0]
+    x_out[1] = xr[1]
+    x_out[2] = xi[0]
+    x_out[3] = xi[1]
+    t_out[0, 0] = t
+    res_out[0, 0] = metric(rk_sq, m_sq4)
+    st_out[0, 0] = jnp.where(status == -1, 1, status).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "n_pad", "kp", "eps", "max_iter", "abs_diff",
+                     "interpret"),
+)
+def pallas_pair_tfqmr(
+    diag4: jnp.ndarray,      # (4, n_pad) f32
+    corner4: jnp.ndarray,    # (4, kp, kp) f32
+    b4: jnp.ndarray,         # (4, n_pad) f32
+    rbar2: jnp.ndarray,      # (2, n_pad) f32 (real shadow, df64 planes)
+    *,
+    n: int,
+    n_pad: int,
+    kp: int,
+    eps: float,
+    max_iter: int,
+    abs_diff: bool = False,
+    interpret: bool = False,
+):
+    """Whole-solve df64 pair-TFQMR kernel.  Returns
+    (x4 (4, n_pad), half-step iterations, residual, status) where status
+    is 0=CONVERGENCE, 1=REACHED_MAX_ITERATIONS, 2=NAN_VALUE."""
+    L = n_pad // 8
+    if kp > L:
+        raise ValueError(f"corner block kp={kp} exceeds the lane width "
+                         f"L={L}; system too coupling-dense for the kernel")
+    kernel = functools.partial(
+        _pair_tfqmr_kernel, n, n_pad, kp, float(eps), max_iter, abs_diff)
+    x4, t, res, st = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, 8, L), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(diag4.reshape(4, 8, L), corner4, b4.reshape(4, 8, L),
+      rbar2.reshape(2, 8, L))
+    return x4.reshape(4, n_pad), t[0, 0], res[0, 0], st[0, 0]
 
 
 @functools.partial(
@@ -415,3 +681,29 @@ class ScatteredPairKernelPlan:
             max_iter=params.effective_max_iterations(),
             abs_diff=bool(params.abs_diff), interpret=interpret)
         return self.unpack_x(x4), t, res
+
+    def solve_tfqmr(self, b, *, params=None, key=None,
+                    interpret: bool = False):
+        """Unpreconditioned TFQMR (half-step iteration counts, like the
+        engine); returns (x complex (n,), iterations, residual, status)
+        with status 0=CONVERGENCE, 1=REACHED_MAX_ITERATIONS,
+        2=NAN_VALUE.  The real-positive shadow draw matches the pair
+        engine's distribution (split-then-draw U[1,2), f32 — exactly
+        representable in df64)."""
+        from ..types import DEFAULT_PARAMS
+
+        params = params or DEFAULT_PARAMS
+        if key is None:
+            key = jax.random.PRNGKey(1234)
+        _, sub = jax.random.split(key)
+        rb = jax.random.uniform(sub, (self.n_pad,), jnp.float32,
+                                minval=1.0, maxval=2.0)
+        rbar2 = jnp.stack([rb, jnp.zeros_like(rb)])
+        b4 = self.pack_b(b)
+        x4, t, res, st = pallas_pair_tfqmr(
+            self.diag4, self.corner4, b4, rbar2,
+            n=self.n, n_pad=self.n_pad, kp=self.kp,
+            eps=params.epsilon,
+            max_iter=params.effective_max_iterations(),
+            abs_diff=bool(params.abs_diff), interpret=interpret)
+        return self.unpack_x(x4), t, res, st

@@ -731,8 +731,12 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
         from ..ops import pallas_pairs as PP
 
         why = None
-        if m != "pcg" or not (isinstance(M, str) and M == "jacobi"):
-            why = "kernel covers method='pcg' with M='jacobi' only"
+        if m == "pcg" and not (isinstance(M, str) and M == "jacobi"):
+            why = "the pcg kernel covers M='jacobi' only"
+        elif m == "tfqmr" and M is not None:
+            why = "the reference's TFQMR is unpreconditioned; drop M"
+        elif m not in ("pcg", "tfqmr"):
+            why = "kernels cover method='pcg' (M='jacobi') and 'tfqmr'"
         elif not isinstance(A, ScatteredOperator):
             why = ("kernel needs a ScatteredOperator (diagonal + corner "
                    "couplings); use make_sparse_operator's auto-pick")
@@ -747,12 +751,22 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
             except ValueError as e:
                 why = str(e)
         if why is None:
-            x, t, res = plan.solve(b, params=params, interpret=interpret)
-            result = SolveResult(
-                x=x, status_code=jnp.where(
+            if m == "pcg":
+                x, t, res = plan.solve(b, params=params,
+                                       interpret=interpret)
+                status = jnp.where(
                     res <= params.epsilon, int(Status.CONVERGENCE),
-                    int(Status.REACHED_MAX_ITERATIONS)).astype(jnp.int32),
-                iterations=t, residual=res, trace=None)
+                    int(Status.REACHED_MAX_ITERATIONS)).astype(jnp.int32)
+            else:
+                x, t, res, st = plan.solve_tfqmr(
+                    b, params=params, key=key, interpret=interpret)
+                codes = jnp.asarray(
+                    [int(Status.CONVERGENCE),
+                     int(Status.REACHED_MAX_ITERATIONS),
+                     int(Status.NAN_VALUE)], jnp.int32)
+                status = codes[st]
+            result = SolveResult(x=x, status_code=status, iterations=t,
+                                 residual=res, trace=None)
             if check:
                 from ..utils.errors import check_status
 

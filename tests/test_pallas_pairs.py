@@ -77,6 +77,36 @@ def test_kernel_max_iter_and_guards():
     assert not fits_in_vmem_pairs(1 << 22, 256)
 
 
+def test_kernel_tfqmr_matches_pairs_engine():
+    n, rows, cols, vals, b, x_true = _scattered_complex(seed=4)
+    p = lcg.SolverParams(epsilon=1e-10, abs_diff=1)
+    A = lcg.ScatteredOperator(n, rows, cols, vals)
+    r_ref = lcg.solve_realified(A, b, method="tfqmr", params=p)
+    plan = ScatteredPairKernelPlan(n, rows, cols, vals)
+    x, t, res, st = plan.solve_tfqmr(b, params=p, interpret=True)
+    assert int(st) == 0
+    assert abs(int(t) - int(r_ref.iterations)) <= 2
+    np.testing.assert_allclose(x, x_true, atol=1e-4)
+    # max-iteration exit reports status 1 with half-step counting
+    _, t2, _, st2 = plan.solve_tfqmr(
+        b, params=lcg.SolverParams(epsilon=1e-30, abs_diff=1,
+                                   max_iterations=4), interpret=True)
+    assert int(st2) == 1 and int(t2) in (4, 5)
+
+
+def test_solve_realified_pallas_tfqmr_route():
+    n, rows, cols, vals, b, x_true = _scattered_complex(seed=15)
+    A = lcg.ScatteredOperator(n, rows, cols, vals)
+    p = lcg.SolverParams(epsilon=1e-10, abs_diff=1)
+    r = lcg.solve_realified(A, b, method="tfqmr", params=p,
+                            pallas="always")
+    assert lcg.Status(int(r.status_code)) == lcg.Status.CONVERGENCE
+    np.testing.assert_allclose(r.x, x_true, atol=1e-4)
+    with pytest.raises(ValueError, match="unpreconditioned"):
+        lcg.solve_realified(A, b, method="tfqmr", M="jacobi",
+                            pallas="always")
+
+
 def test_solve_realified_pallas_route():
     """pallas='always' routes to the kernel (interpreter on CPU), with
     eligibility errors naming the reason; 'never' keeps the engine."""
