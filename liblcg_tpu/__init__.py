@@ -80,7 +80,8 @@ from .solve import (
     solve_sequence,
 )
 from .solvers.refine import solve_refined, solve_refined_batched
-from .solvers.cplx_pairs import PairJacobi, solve_realified
+from .solvers.cplx_pairs import (PairJacobi, solve_realified,
+                                 solve_realified_batched)
 from .solvers.direct import ScatteredDirectSolver, try_scattered_direct
 from .precond import (
     ChebyshevPreconditioner,
@@ -140,6 +141,7 @@ __all__ = [
     "solve_refined",
     "solve_refined_batched",
     "solve_realified",
+    "solve_realified_batched",
     "PairJacobi",
     "ScatteredDirectSolver",
     "try_scattered_direct",

@@ -81,10 +81,12 @@ def fused_sums(*rows):
     On this chip every tiny f64-emulated reduction lowers to its own
     ~49 us sequential while-op (CLAUDE.md), so an engine step that needs
     6 scalars pays 6 launches unfused but 1-2 fused — the dominant cost
-    of the pair engines at n=10K."""
+    of the pair engines at n=10K.  Batched (multi-RHS) context: rows are
+    (nrhs, n) and each returned scalar is (nrhs, 1)."""
     stacked = jnp.stack(rows)
     acc = H._acc_dtype(stacked.dtype)
-    s = jnp.sum(stacked, axis=-1, dtype=acc)
+    s = jnp.sum(stacked, axis=-1, dtype=acc,
+                keepdims=H.batch_active())
     if acc is not None:
         s = s.astype(stacked.dtype)
     ax = H.dist_axis()
@@ -371,9 +373,14 @@ def cgs_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
         key = jax.random.PRNGKey(1234)
     # Draw at the LOCAL half-length (== n single-device; the shard length
     # under shard_map, where the caller decorrelates keys per shard).
-    re = jax.random.uniform(key, (b.shape[0] // 2,), dtype=b.dtype,
+    # One shared shadow per batched stack (like _shadow_residual's
+    # broadcast in the vmapped complex engines).
+    re = jax.random.uniform(key, (b.shape[-1] // 2,), dtype=b.dtype,
                             minval=1.0, maxval=2.0)
-    rbar0 = jnp.concatenate([re, jnp.zeros_like(re)])
+    # Broadcast to the (possibly batched) stack shape: carry entries
+    # need the leading nrhs axis for per-system freezing.
+    rbar0 = jnp.broadcast_to(
+        jnp.concatenate([re, jnp.zeros_like(re)]), b.shape)
     carry = _carry_common(x, rk, b, trace_len)
     carry.update(rbar0=rbar0, pk=rk, uk=rk, qk=jnp.zeros_like(rk),
                  rhok=pair_dot_c(rbar0, rk))
@@ -409,14 +416,16 @@ def _shadow_pair(b, key):
     pair engine and its complex-dtype twin see the SAME rbar0 values and
     their iteration counts track each other, not just the same band.
 
-    The draw length is the LOCAL half-length ``b.shape[0] // 2`` (== the
-    logical ``n`` single-device; the shard length under shard_map)."""
+    The draw length is the LOCAL half-length ``b.shape[-1] // 2`` (== the
+    logical ``n`` single-device; the shard length under shard_map; one
+    shared 1-D shadow for a batched (nrhs, 2n) stack)."""
     if key is None:
         key = jax.random.PRNGKey(1234)
     _, sub = jax.random.split(key)
-    re = jax.random.uniform(sub, (b.shape[0] // 2,), dtype=b.dtype,
+    re = jax.random.uniform(sub, (b.shape[-1] // 2,), dtype=b.dtype,
                             minval=1.0, maxval=2.0)
-    return jnp.concatenate([re, jnp.zeros_like(re)])
+    return jnp.broadcast_to(
+        jnp.concatenate([re, jnp.zeros_like(re)]), b.shape)
 
 
 def bicgstab_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
@@ -876,4 +885,163 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
         from ..utils.errors import check_status
 
         check_status(result.status_code, raise_error=True, quiet=True)
+    return result
+
+
+class _VmappedPairOp:
+    """Trace-time adapter mapping a stacked-pair operator over
+    (nrhs, 2n) batches; exposes vmapped ``.re``/``.im`` sub-products for
+    pbicg's conj(A) mode (cf. solve._VmappedOperator)."""
+
+    def __init__(self, R):
+        self._R = R
+        from ..solve import _VmappedOperator
+
+        self.re = _VmappedOperator(R.re)
+        self.im = _VmappedOperator(R.im)
+
+    def mv(self, X):
+        return jax.vmap(self._R.mv)(X)
+
+    def rmv(self, X):
+        return jax.vmap(self._R.rmv)(X)
+
+
+#: pair engines with a batched (multi-RHS) form.  tfqmr_pairs is a
+#: custom half-step loop without per-system freezing — excluded (use
+#: independent solves or the VMEM kernel per system).
+_BATCHED_PAIR_METHODS = ("bicg", "bicg_sym", "cgs", "bicgstab", "pcg",
+                         "pbicg")
+
+_BATCHED_JIT_CACHE: dict = {}
+
+
+def solve_realified_batched(A, B, X0=None, *, method: str = "bicg_sym",
+                            M=None, params: SolverParams = DEFAULT_PARAMS,
+                            monitor=None, trace_len: int = 0, key=None,
+                            check: bool = False) -> SolveResult:
+    """Solve a STACK of complex systems ``A x_i = B_i`` on a complex-less
+    backend in one compiled program (pair arithmetic, per-system
+    freezing through the batched harness).
+
+    ``B``: complex host (nrhs, n).  Returns per-system
+    status/iterations/residual (and ``(nrhs, trace_len)`` trace rows)
+    with ``x`` complex (nrhs, n).  The multi-RHS complex analogue of
+    :func:`liblcg_tpu.solve_batched` — the reference solves strictly one
+    b at a time (lcg.h:61).
+    """
+    from ..solve import canonical_method
+
+    m = canonical_method(method)
+    if m not in _BATCHED_PAIR_METHODS:
+        raise ValueError(
+            f"batched pair-complex engines support "
+            f"{sorted(_BATCHED_PAIR_METHODS)}; got {m!r}"
+        )
+    fn, needs_M = _PAIR_ENGINES[m]
+
+    B_np = np.asarray(B)
+    if B_np.ndim != 2:
+        raise ValueError(f"B must be (nrhs, n), got {B_np.shape}")
+    nrhs, n = B_np.shape
+    if (np.iscomplexobj(B_np) and B_np.dtype == np.complex128
+            and not jax.config.jax_enable_x64):
+        import warnings
+
+        warnings.warn(
+            "solve_realified_batched: complex128 input with "
+            "jax_enable_x64 OFF truncates to float32 (see "
+            "solve_realified's warning for the measured cost).",
+            stacklevel=2,
+        )
+
+    if isinstance(A, RealifiedOperator):
+        R = A
+        diag_c = None
+    else:
+        if not isinstance(A, LinearOperator):
+            raise TypeError("A must be a LinearOperator or RealifiedOperator")
+        diag_c = np.asarray(A.diagonal()) if needs_M else None
+        R = realify(A)
+
+    def pack(Z):
+        Z = np.asarray(Z)
+        if not np.iscomplexobj(Z):
+            Z = Z.astype(complex)
+        return jnp.asarray(np.concatenate([Z.real, Z.imag], axis=-1))
+
+    Bp = pack(B_np)
+    X0p = None if X0 is None else pack(X0)
+
+    err = params.validate(for_method=m)
+    if err is not None:
+        return SolveResult(
+            x=np.zeros_like(B_np),
+            status_code=jnp.full((nrhs,), int(err), jnp.int32),
+            iterations=jnp.zeros((nrhs,), jnp.int32),
+            residual=jnp.full((nrhs,), jnp.nan), trace=None)
+
+    if needs_M:
+        if M is None:
+            return SolveResult(
+                x=np.zeros_like(B_np),
+                status_code=jnp.full(
+                    (nrhs,), int(Status.NULL_PRECONDITION_MATRIX),
+                    jnp.int32),
+                iterations=jnp.zeros((nrhs,), jnp.int32),
+                residual=jnp.full((nrhs,), jnp.nan), trace=None)
+        if isinstance(M, str) and M == "jacobi":
+            if diag_c is None:
+                raise ValueError(
+                    "M='jacobi' needs a complex operator with .diagonal(); "
+                    "pass the complex diagonal explicitly instead")
+            M = PairJacobi.from_complex_diag(diag_c)
+        elif not callable(M) and not hasattr(M, "mv"):
+            M = PairJacobi.from_complex_diag(np.asarray(M))
+
+    M_traced = needs_M and isinstance(M, PairJacobi)
+    if m not in _KEYED_METHODS or key is None:
+        key_id = None
+    else:
+        try:
+            key_id = np.asarray(key).tobytes()
+        except TypeError:
+            key_id = np.asarray(jax.random.key_data(key)).tobytes()
+    cache_key = ("batched", fn, params, monitor, trace_len, nrhs,
+                 None if M_traced or not needs_M else M, key_id)
+    jitted = _BATCHED_JIT_CACHE.get(cache_key)
+    if jitted is None:
+        def run(R_, B_, X_, *extras):
+            kwargs = dict(params=params, monitor=monitor,
+                          trace_len=trace_len)
+            if m in _KEYED_METHODS:
+                kwargs["key"] = key
+            Rb = _VmappedPairOp(R_)
+            if needs_M:
+                Mx = extras[0] if M_traced else M
+                apply_M = Mx.mv if hasattr(Mx, "mv") else Mx
+                kwargs["M"] = apply_M   # diag_mul broadcasts over rows
+            with H.batched(nrhs=nrhs):
+                return fn(Rb, B_, X_, **kwargs)
+
+        jitted = jax.jit(run)
+        _BATCHED_JIT_CACHE[cache_key] = jitted
+
+    extras = (M,) if M_traced else ()
+    carry = jitted(R, Bp, jnp.zeros_like(Bp) if X0p is None else X0p,
+                   *extras)
+    x2 = np.asarray(carry["x"])
+    x = x2[:, :n] + 1j * x2[:, n:]
+    result = SolveResult(
+        x=x,
+        status_code=carry["status"],
+        iterations=carry["t"],
+        residual=carry["residual"],
+        trace=carry.get("trace"),
+    )
+    if check:
+        from ..utils.errors import check_status
+
+        for s in np.asarray(result.status_code):
+            check_status(s, raise_error=True, quiet=True)
     return result

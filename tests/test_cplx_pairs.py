@@ -136,6 +136,48 @@ def test_pairs_rejects_unknown_and_missing_M(complex_sym_small):
     assert lcg.Status(int(r.status_code)) == lcg.Status.NULL_PRECONDITION_MATRIX
 
 
+# --- batched pair solves (round 5: multi-RHS complex on-chip) ---------------
+
+
+@pytest.mark.parametrize("method", ["bicg_sym", "cgs", "pcg"])
+def test_pairs_batched_matches_single(complex_sym_small, method):
+    """Per-system counts/solutions of the batched pair path must match
+    one-at-a-time solve_realified (per-system freezing through the
+    batched harness)."""
+    A, b, x_true = complex_sym_small
+    op = lcg.DenseOperator(A)
+    p = lcg.SolverParams(epsilon=1e-13)
+    kw = dict(M="jacobi") if method == "pcg" else {}
+    B = np.stack([b, 2.0 * b, b * (1 - 0.5j)])
+    rb = lcg.solve_realified_batched(op, B, method=method, params=p, **kw)
+    assert rb.x.shape == B.shape
+    for i in range(3):
+        r1 = lcg.solve_realified(op, B[i], method=method, params=p, **kw)
+        assert int(rb.status_code[i]) == int(r1.status_code)
+        assert abs(int(rb.iterations[i]) - int(r1.iterations)) <= 2
+        # batched reductions reorder the sums -> ~1e-4 trajectory drift
+        # at the loose ||r||^4 stopping metric; both are true solutions
+        np.testing.assert_allclose(rb.x[i], r1.x, atol=1e-3)
+
+
+def test_pairs_batched_traces_and_errors(complex_sym_small):
+    A, b, _ = complex_sym_small
+    op = lcg.DenseOperator(A)
+    r = lcg.solve_realified_batched(
+        op, np.stack([b, 3.0 * b]), method="bicg_sym",
+        params=lcg.SolverParams(epsilon=1e-13), trace_len=6)
+    tr = np.asarray(r.trace)
+    assert tr.shape == (2, 6) and np.all(tr[:, 1] > 0)
+    with pytest.raises(ValueError, match="batched pair-complex"):
+        lcg.solve_realified_batched(op, np.stack([b, b]), method="tfqmr")
+    with pytest.raises(ValueError, match="nrhs"):
+        lcg.solve_realified_batched(op, b, method="bicg_sym")
+    res = lcg.solve_realified_batched(op, np.stack([b, b]), method="pcg",
+                                      M=None)
+    assert all(int(s) == int(lcg.Status.NULL_PRECONDITION_MATRIX)
+               for s in np.asarray(res.status_code))
+
+
 # --- scattered-direct (Woodbury) --------------------------------------------
 
 
