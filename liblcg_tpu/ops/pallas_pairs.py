@@ -32,7 +32,9 @@ unconjugated d_new) == solvers/cplx_pairs.pcg_pairs, as one kernel.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import sys
 from typing import Tuple
 
 import numpy as np
@@ -45,6 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 from . import df64 as df
 
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+@contextlib.contextmanager
+def _deep_recursion(limit: int = 20000):
+    """Mosaic traces/lowers these kernels' large straight-line jaxprs
+    recursively; the TFQMR body exceeds CPython's default 1000-frame
+    limit at production sizes (the PCG body just fits).  Temporarily
+    raise it around kernel build."""
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(limit, old))
+    try:
+        yield
+    finally:
+        sys.setrecursionlimit(old)
 
 
 def _next_pow2(n: int) -> int:
@@ -416,7 +432,9 @@ def _pair_tfqmr_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
                     sel_s(th_n, theta), sel_s(tao_n, tao),
                     sel_s(et_nr, etar), sel_s(et_ni, etai),
                     sel_s(msq_n, m_sq4),
-                    t + alive.astype(jnp.int32))
+                    # integer select, not bool astype: Mosaic's scalar
+                    # convert helper recurses forever on bool -> i32
+                    t + jnp.where(alive, jnp.int32(1), jnp.int32(0)))
 
         v1 = verdict(res1, t)
         a1 = v1 == -1
@@ -494,7 +512,8 @@ def pallas_pair_tfqmr(
                          f"L={L}; system too coupling-dense for the kernel")
     kernel = functools.partial(
         _pair_tfqmr_kernel, n, n_pad, kp, float(eps), max_iter, abs_diff)
-    x4, t, res, st = pl.pallas_call(
+    with _deep_recursion():
+        x4, t, res, st = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((4, 8, L), jnp.float32),
@@ -544,7 +563,8 @@ def pallas_pair_pcg(
                          f"L={L}; system too coupling-dense for the kernel")
     kernel = functools.partial(
         _pair_pcg_kernel, n, n_pad, kp, float(eps), max_iter, abs_diff)
-    x4, t, res = pl.pallas_call(
+    with _deep_recursion():
+        x4, t, res = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((4, 8, L), jnp.float32),
@@ -689,7 +709,17 @@ class ScatteredPairKernelPlan:
         with status 0=CONVERGENCE, 1=REACHED_MAX_ITERATIONS,
         2=NAN_VALUE.  The real-positive shadow draw matches the pair
         engine's distribution (split-then-draw U[1,2), f32 — exactly
-        representable in df64)."""
+        representable in df64).
+
+        PRECISION WALL (measured, round 5): unpreconditioned TFQMR's
+        recurrence residual is far more drift-sensitive than PCG's — on
+        case_10K_cA's spectrum f32 stalls at ||r||^2/n ~ 0.76, df64 at
+        ~0.03 (engine-identical shadow: trajectories agree to 1.9e-8 at
+        4 half steps, then separate chaotically), while f64 converges in
+        1742 half steps.  Expect CONVERGENCE only on spectra mild enough
+        for ~49 mantissa bits; per-half-step device time is
+        count-independent either way (fixed-work bench rows stay
+        valid)."""
         from ..types import DEFAULT_PARAMS
 
         params = params or DEFAULT_PARAMS

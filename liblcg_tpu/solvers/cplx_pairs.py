@@ -712,7 +712,11 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
     case_10K_cA (8.7 vs 29.1 ms).  OPT-IN because df64 carries ~49
     mantissa bits vs f64's 52, which shifts iteration counts ~10% on
     ill-conditioned spectra (407 vs 366 there) at equal answer quality —
-    the default engine keeps strict f64 parity trajectories.
+    the default engine keeps strict f64 parity trajectories.  TFQMR's
+    kernel is ``"always"``-only: its unpreconditioned recurrence can
+    STALL below f64 on ill-conditioned spectra (measured on case_10K_cA:
+    f32 plateaus at ||r||^2/n ~ 0.76, df64 at ~0.03, f64 converges in
+    1742 half steps), so the automatic route never picks it.
     """
     from ..solve import canonical_method
 
@@ -751,6 +755,16 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
                    "couplings); use make_sparse_operator's auto-pick")
         elif x0 is not None or monitor is not None or trace_len > 0:
             why = "kernel takes no x0/monitor/trace"
+        if why is None and m == "tfqmr" and pallas == "auto":
+            # The unpreconditioned TFQMR recurrence needs more mantissa
+            # than df64 carries on ill-conditioned spectra (measured
+            # bracket on case_10K_cA: f32 stalls at ||r||^2/n ~ 0.76,
+            # df64 at ~0.03, f64 converges in 1742 half steps) — the
+            # kernel is an explicit pallas='always' opt-in; auto keeps
+            # the f64-parity XLA engine.
+            why = ("df64's ~49-bit mantissa can stall TFQMR's recurrence "
+                   "on ill-conditioned spectra; pass pallas='always' to "
+                   "opt in")
         interpret = jax.default_backend() == "cpu"
         if why is None and interpret and pallas == "auto":
             why = "interpreter (CPU) is slower than the XLA engine"

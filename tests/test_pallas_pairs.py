@@ -105,6 +105,12 @@ def test_solve_realified_pallas_tfqmr_route():
     with pytest.raises(ValueError, match="unpreconditioned"):
         lcg.solve_realified(A, b, method="tfqmr", M="jacobi",
                             pallas="always")
+    # auto never routes tfqmr to the kernel (measured df64 precision
+    # wall on ill-conditioned spectra) — it falls through to the f64
+    # engine and still converges.
+    r_auto = lcg.solve_realified(A, b, method="tfqmr", params=p,
+                                 pallas="auto")
+    assert lcg.Status(int(r_auto.status_code)) == lcg.Status.CONVERGENCE
 
 
 def test_solve_realified_pallas_route():
