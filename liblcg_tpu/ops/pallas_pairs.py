@@ -70,11 +70,16 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def fits_in_vmem_pairs(n_pad: int, kp: int) -> bool:
-    """Census: 4 df64 complex vectors (x/r/d/s = 16 (1, n) f32 rows),
-    operator diag + inv-diag (8 rows), b (4 rows), corner blocks
-    (8 (kp, kp) f32), plus reduction temporaries (~8 rows)."""
-    vec_bytes = (16 + 8 + 4 + 8) * n_pad * 4
+def fits_in_vmem_pairs(n_pad: int, kp: int, method: str = "pcg") -> bool:
+    """VMEM census per kernel.  PCG: 4 df64 complex vectors (x/r/d/s =
+    16 (1, n) f32 rows), operator diag + inv-diag (8 rows), b (4 rows),
+    plus reduction temporaries (~8 rows).  TFQMR carries more state —
+    6 df64 complex vectors (x/r/p/u/q/d = 24 rows), diag (4), b (4),
+    the real shadow (2), and ~12 rows of per-iteration temporaries
+    (v = Ap, u+q, A(u+q)) — so a plan near the PCG boundary can still
+    overflow the TFQMR kernel; callers gate per method."""
+    rows = 36 if method == "pcg" else 46
+    vec_bytes = rows * n_pad * 4
     corner_bytes = 8 * kp * kp * 4
     return (vec_bytes + corner_bytes) < 0.5 * _VMEM_LIMIT_BYTES
 
@@ -148,15 +153,51 @@ def _df_sqrt(x):
 
 
 def _swhere(cond, new, old):
-    """Scalar-pair select by a 0-d predicate."""
+    """Pair select by a 0-d predicate (scalar pairs or vector pairs —
+    jnp.where broadcast-splats the predicate either way)."""
     return (jnp.where(cond, new[0], old[0]),
             jnp.where(cond, new[1], old[1]))
 
 
-def _vwhere(cond, new, old):
-    """Vector-pair select by a 0-d predicate (broadcast splat)."""
-    return (jnp.where(cond, new[0], old[0]),
-            jnp.where(cond, new[1], old[1]))
+def _apply_diag_corner(DR, DI, CR, CI, kp, xr, xi):
+    """y = diag(d) x + the permuted corner block's contribution to the
+    first kp lanes of row 0 (df64 complex, (8, L) layout).  Shared by
+    both whole-solve kernels; static slices only — Mosaic has no
+    scatter lowering, small 2-D transposes do lower."""
+    yr, yi = _cmulv(DR, DI, xr, xi)
+    if kp > 0:
+        # Corner operand: row 0, first kp lanes (the permuted coupled
+        # indices), as (1, kp) rows.
+        xr_k = (xr[0][0:1, :kp], xr[1][0:1, :kp])
+        xi_k = (xi[0][0:1, :kp], xi[1][0:1, :kp])
+
+        def cmv(C, v):
+            # p[i, j] = C[i, j] * v[j] (v broadcast over sublanes),
+            # lane-fold -> y column (kp, 1).
+            p = df.mul(C, (jnp.broadcast_to(v[0], C[0].shape),
+                           jnp.broadcast_to(v[1], C[1].shape)))
+            return _fold_lanes(p)
+
+        crr, cri = cmv(CR, xr_k), cmv(CR, xi_k)
+        cir, cii = cmv(CI, xr_k), cmv(CI, xi_k)
+        add_r = df.sub(crr, cii)            # Cr xr - Ci xi   (kp, 1)
+        add_i = df.add(cir, cri)            # Ci xr + Cr xi
+        tr_ = lambda a: jnp.transpose(a, (1, 0))
+        add_r = (tr_(add_r[0]), tr_(add_r[1]))          # (1, kp) rows
+        add_i = (tr_(add_i[0]), tr_(add_i[1]))
+        new_r = df.add((yr[0][0:1, :kp], yr[1][0:1, :kp]), add_r)
+        new_i = df.add((yi[0][0:1, :kp], yi[1][0:1, :kp]), add_i)
+
+        def splice(y, new):
+            # Static-slice splice (no scatter).
+            row0 = (jnp.concatenate([new[0], y[0][0:1, kp:]], axis=-1),
+                    jnp.concatenate([new[1], y[1][0:1, kp:]], axis=-1))
+            return (jnp.concatenate([row0[0], y[0][1:]], axis=0),
+                    jnp.concatenate([row0[1], y[1][1:]], axis=0))
+
+        yr = splice(yr, new_r)
+        yi = splice(yi, new_i)
+    return yr, yi
 
 
 def _pair_pcg_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
@@ -189,42 +230,7 @@ def _pair_pcg_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
     CI = (corner_ref[2], corner_ref[3])
 
     def apply_A(xr, xi):
-        yr, yi = _cmulv(DR, DI, xr, xi)
-        if kp > 0:
-            # Corner operand: row 0, first kp lanes (the permuted
-            # coupled indices), as (1, kp) rows.
-            xr_k = (xr[0][0:1, :kp], xr[1][0:1, :kp])
-            xi_k = (xi[0][0:1, :kp], xi[1][0:1, :kp])
-
-            def cmv(C, v):
-                # p[i, j] = C[i, j] * v[j] (v broadcast over sublanes),
-                # lane-fold -> y column (kp, 1).
-                p = df.mul(C, (jnp.broadcast_to(v[0], C[0].shape),
-                               jnp.broadcast_to(v[1], C[1].shape)))
-                return _fold_lanes(p)
-
-            crr = cmv(CR, xr_k)
-            cri = cmv(CR, xi_k)
-            cir = cmv(CI, xr_k)
-            cii = cmv(CI, xi_k)
-            add_r = df.sub(crr, cii)        # Cr xr - Ci xi   (kp, 1)
-            add_i = df.add(cir, cri)        # Ci xr + Cr xi
-            tr_ = lambda a: jnp.transpose(a, (1, 0))
-            add_r = (tr_(add_r[0]), tr_(add_r[1]))      # (1, kp) rows
-            add_i = (tr_(add_i[0]), tr_(add_i[1]))
-            new_r = df.add((yr[0][0:1, :kp], yr[1][0:1, :kp]), add_r)
-            new_i = df.add((yi[0][0:1, :kp], yi[1][0:1, :kp]), add_i)
-
-            def splice(y, new):
-                # Static-slice splice (Mosaic has no scatter lowering).
-                row0 = (jnp.concatenate([new[0], y[0][0:1, kp:]], axis=-1),
-                        jnp.concatenate([new[1], y[1][0:1, kp:]], axis=-1))
-                return (jnp.concatenate([row0[0], y[0][1:]], axis=0),
-                        jnp.concatenate([row0[1], y[1][1:]], axis=0))
-
-            yr = splice(yr, new_r)
-            yi = splice(yi, new_i)
-        return yr, yi
+        return _apply_diag_corner(DR, DI, CR, CI, kp, xr, xi)
 
     def pair_dot_rows(ar, ai, br, bi):
         """Unconjugated complex dot products, UNREDUCED (8, L) planes:
@@ -314,35 +320,7 @@ def _pair_tfqmr_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
     L = n_pad // 8
 
     def apply_A(xr, xi):
-        yr, yi = _cmulv(DR, DI, xr, xi)
-        if kp > 0:
-            xr_k = (xr[0][0:1, :kp], xr[1][0:1, :kp])
-            xi_k = (xi[0][0:1, :kp], xi[1][0:1, :kp])
-
-            def cmv(C, v):
-                p = df.mul(C, (jnp.broadcast_to(v[0], C[0].shape),
-                               jnp.broadcast_to(v[1], C[1].shape)))
-                return _fold_lanes(p)
-
-            crr, cri = cmv(CR, xr_k), cmv(CR, xi_k)
-            cir, cii = cmv(CI, xr_k), cmv(CI, xi_k)
-            tr_ = lambda a: jnp.transpose(a, (1, 0))
-            add_r = df.sub(crr, cii)
-            add_i = df.add(cir, cri)
-            add_r = (tr_(add_r[0]), tr_(add_r[1]))
-            add_i = (tr_(add_i[0]), tr_(add_i[1]))
-            new_r = df.add((yr[0][0:1, :kp], yr[1][0:1, :kp]), add_r)
-            new_i = df.add((yi[0][0:1, :kp], yi[1][0:1, :kp]), add_i)
-
-            def splice(y, new):
-                row0 = (jnp.concatenate([new[0], y[0][0:1, kp:]], axis=-1),
-                        jnp.concatenate([new[1], y[1][0:1, kp:]], axis=-1))
-                return (jnp.concatenate([row0[0], y[0][1:]], axis=0),
-                        jnp.concatenate([row0[1], y[1][1:]], axis=0))
-
-            yr = splice(yr, new_r)
-            yi = splice(yi, new_i)
-        return yr, yi
+        return _apply_diag_corner(DR, DI, CR, CI, kp, xr, xi)
 
     def dot_rb(vr, vi):
         """<rbar0, v>_c with a real shadow: (sum rb*vr, sum rb*vi)."""
@@ -426,7 +404,7 @@ def _pair_tfqmr_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
             msq_n = df.mul(xsq, xsq)
             msq_n = _swhere(msq_n[0] < 1.0, one, msq_n)
             sel_s = lambda nw, od: _swhere(alive, nw, od)
-            sel_v = lambda nw, od: _vwhere(alive, nw, od)
+            sel_v = lambda nw, od: _swhere(alive, nw, od)
             return (sel_v(x_nr, xr), sel_v(x_ni, xi),
                     sel_v(dnr, dr_), sel_v(dni, di_),
                     sel_s(th_n, theta), sel_s(tao_n, tao),
@@ -454,7 +432,7 @@ def _pair_tfqmr_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
         t1r, t1i = _caxpy(bkr, bki, pr, pi, qr, qi)
         p_nr, p_ni = _caxpy(bkr, bki, t1r, t1i, u_nr, u_ni)
         sel_s = lambda nw, od: _swhere(a2, nw, od)
-        sel_v = lambda nw, od: _vwhere(a2, nw, od)
+        sel_v = lambda nw, od: _swhere(a2, nw, od)
         ur, ui = sel_v(u_nr, ur), sel_v(u_ni, ui)
         pr, pi = sel_v(p_nr, pr), sel_v(p_ni, pi)
         rhor, rhoi = sel_s(rho2r, rhor), sel_s(rho2i, rhoi)
@@ -489,7 +467,7 @@ def _pair_tfqmr_kernel(n, n_pad, kp, eps, max_iter, abs_diff,
     static_argnames=("n", "n_pad", "kp", "eps", "max_iter", "abs_diff",
                      "interpret"),
 )
-def pallas_pair_tfqmr(
+def _pallas_pair_tfqmr_jit(
     diag4: jnp.ndarray,      # (4, n_pad) f32
     corner4: jnp.ndarray,    # (4, kp, kp) f32
     b4: jnp.ndarray,         # (4, n_pad) f32
@@ -503,17 +481,13 @@ def pallas_pair_tfqmr(
     abs_diff: bool = False,
     interpret: bool = False,
 ):
-    """Whole-solve df64 pair-TFQMR kernel.  Returns
-    (x4 (4, n_pad), half-step iterations, residual, status) where status
-    is 0=CONVERGENCE, 1=REACHED_MAX_ITERATIONS, 2=NAN_VALUE."""
     L = n_pad // 8
     if kp > L:
         raise ValueError(f"corner block kp={kp} exceeds the lane width "
                          f"L={L}; system too coupling-dense for the kernel")
     kernel = functools.partial(
         _pair_tfqmr_kernel, n, n_pad, kp, float(eps), max_iter, abs_diff)
-    with _deep_recursion():
-        x4, t, res, st = pl.pallas_call(
+    x4, t, res, st = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((4, 8, L), jnp.float32),
@@ -536,12 +510,27 @@ def pallas_pair_tfqmr(
     return x4.reshape(4, n_pad), t[0, 0], res[0, 0], st[0, 0]
 
 
+def pallas_pair_tfqmr(diag4, corner4, b4, rbar2, **kw):
+    """Whole-solve df64 pair-TFQMR kernel.  Returns
+    (x4 (4, n_pad), half-step iterations, residual, status) where status
+    is 0=CONVERGENCE, 1=REACHED_MAX_ITERATIONS, 2=NAN_VALUE.
+
+    The kernel is f32-only (Mosaic), so the jitted inner call traces
+    with x64 DISABLED (weak f64 scalars otherwise send Mosaic's scalar
+    convert helper into unbounded recursion — the pallas_stencil_cg.py
+    pattern), and the TFQMR body's straight-line jaxpr needs a raised
+    Python recursion limit through trace AND lowering (the old
+    in-body guard missed the lowering phase)."""
+    with _deep_recursion(), jax.enable_x64(False):
+        return _pallas_pair_tfqmr_jit(diag4, corner4, b4, rbar2, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n", "n_pad", "kp", "eps", "max_iter", "abs_diff",
                      "interpret"),
 )
-def pallas_pair_pcg(
+def _pallas_pair_pcg_jit(
     diag4: jnp.ndarray,      # (4, n_pad) f32: [dr_hi, dr_lo, di_hi, di_lo]
     minv4: jnp.ndarray,      # (4, n_pad) f32: 1/diag, same packing
     corner4: jnp.ndarray,    # (4, kp, kp) f32: [Cr_hi, Cr_lo, Ci_hi, Ci_lo]
@@ -555,16 +544,13 @@ def pallas_pair_pcg(
     abs_diff: bool = False,
     interpret: bool = False,
 ):
-    """Run the whole-solve df64 pair-PCG kernel.  Returns
-    (x4 (4, n_pad), iterations, residual)."""
     L = n_pad // 8
     if kp > L:
         raise ValueError(f"corner block kp={kp} exceeds the lane width "
                          f"L={L}; system too coupling-dense for the kernel")
     kernel = functools.partial(
         _pair_pcg_kernel, n, n_pad, kp, float(eps), max_iter, abs_diff)
-    with _deep_recursion():
-        x4, t, res = pl.pallas_call(
+    x4, t, res = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((4, 8, L), jnp.float32),
@@ -583,6 +569,14 @@ def pallas_pair_pcg(
     )(diag4.reshape(4, 8, L), minv4.reshape(4, 8, L), corner4,
       b4.reshape(4, 8, L))
     return x4.reshape(4, n_pad), t[0, 0], res[0, 0]
+
+
+def pallas_pair_pcg(diag4, minv4, corner4, b4, **kw):
+    """Run the whole-solve df64 pair-PCG kernel.  Returns
+    (x4 (4, n_pad), iterations, residual).  Same x64-off + recursion
+    guards as :func:`pallas_pair_tfqmr` (the kernel is f32-only)."""
+    with _deep_recursion(), jax.enable_x64(False):
+        return _pallas_pair_pcg_jit(diag4, minv4, corner4, b4, **kw)
 
 
 def _pack4(re_f64: np.ndarray, im_f64: np.ndarray, n_pad: int) -> np.ndarray:
@@ -641,6 +635,14 @@ class ScatteredPairKernelPlan:
         kp = max(_next_pow2(max(k, 1)), 8)
         self.n = int(n)
         self.n_pad = _next_pow2(int(n))
+        if kp > self.n_pad // 8:
+            # Raised at PLAN time so solve_realified(pallas="auto")
+            # falls back to the XLA engine instead of crashing inside
+            # the kernel wrapper (every n <= 32 trips this: kp >= 8).
+            raise ValueError(
+                f"corner block kp={kp} exceeds the lane width "
+                f"L={self.n_pad // 8}; system too small or too "
+                "coupling-dense for the kernel — use solve_realified")
         if not fits_in_vmem_pairs(self.n_pad, kp):
             raise ValueError(
                 f"df64 pair-PCG state for n_pad={self.n_pad}, kp={kp} "
@@ -711,18 +713,24 @@ class ScatteredPairKernelPlan:
         engine's distribution (split-then-draw U[1,2), f32 — exactly
         representable in df64).
 
-        PRECISION WALL (measured, round 5): unpreconditioned TFQMR's
-        recurrence residual is far more drift-sensitive than PCG's — on
-        case_10K_cA's spectrum f32 stalls at ||r||^2/n ~ 0.76, df64 at
-        ~0.03 (engine-identical shadow: trajectories agree to 1.9e-8 at
-        4 half steps, then separate chaotically), while f64 converges in
-        1742 half steps.  Expect CONVERGENCE only on spectra mild enough
-        for ~49 mantissa bits; per-half-step device time is
-        count-independent either way (fixed-work bench rows stay
-        valid)."""
+        Substrate caveat (measured, round 5): the COMPILED Mosaic
+        kernel holds near-f64 parity on case_10K_cA — 1754 half steps
+        vs the engine's 1742, status CONVERGENCE, true residual
+        4.3e-7, 19.5 us/half step — because Mosaic executes strict
+        per-op f32, keeping df64's error-free transforms exact.
+        ``interpret=True`` (XLA:CPU) does NOT: compiler contraction
+        degrades df64 there and this drift-sensitive unpreconditioned
+        recurrence then stalls at ||r||^2/n ~ 0.03 on the same system
+        (plain f32 stalls at ~0.76).  Use interpret only for
+        small/mild-spectrum functional tests."""
         from ..types import DEFAULT_PARAMS
 
         params = params or DEFAULT_PARAMS
+        if not fits_in_vmem_pairs(self.n_pad, self.kp, method="tfqmr"):
+            raise ValueError(
+                f"df64 pair-TFQMR state for n_pad={self.n_pad}, "
+                f"kp={self.kp} exceeds the VMEM budget (TFQMR carries "
+                "~46 vector rows vs PCG's 36); use solve_realified")
         if key is None:
             key = jax.random.PRNGKey(1234)
         _, sub = jax.random.split(key)

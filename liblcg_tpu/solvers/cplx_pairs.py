@@ -172,7 +172,9 @@ def _conj_mv(A: RealifiedOperator, v):
     xr, xi = _halves(v)
     yr = A.re.mv(xr) + A.im.mv(xi)
     yi = -A.im.mv(xr) + A.re.mv(xi)
-    return jnp.concatenate([yr, yi])
+    # axis=-1: v may be a batched (nrhs, 2n) stack (axis 0 would
+    # interleave systems instead of halves).
+    return jnp.concatenate([yr, yi], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -441,8 +443,7 @@ def bicgstab_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
     rk = b - A.mv(x)
     rbar0 = _shadow_pair(b, key)
     carry = _carry_common(x, rk, b, trace_len)
-    carry.update(rbar0=rbar0, pk=rk, Apk=jnp.zeros_like(rk),
-                 rhok=pair_dot_c(rbar0, rk))
+    carry.update(rbar0=rbar0, pk=rk, rhok=pair_dot_c(rbar0, rk))
 
     def residual_fn(c):
         return H.complex_residual(c["rk_sq"], c["m_sq"], n, params.abs_diff)
@@ -472,7 +473,7 @@ def bicgstab_pairs(A, b, x0=None, *, params=SolverParams(), monitor=None,
         rhok2 = (rhr, rhi)
         betak = s_div(s_mul(rhok2, ak), s_mul(c["rhok"], omega))
         pk = axpy(betak, axpy((-omega[0], -omega[1]), Apk, c["pk"]), rk)
-        return dict(c, x=x, rk=rk, pk=pk, Apk=Apk, rhok=rhok2,
+        return dict(c, x=x, rk=rk, pk=pk, rhok=rhok2,
                     rk_sq=rk_sq, m_sq=m_sq)
 
     return H.run_loop(carry, residual_fn=residual_fn, step_fn=step_fn,
@@ -710,13 +711,15 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
     trace) to the whole-solve **df64 VMEM kernel**
     (ops/pallas_pairs.py): ~3.4x the XLA pair engine's device time on
     case_10K_cA (8.7 vs 29.1 ms).  OPT-IN because df64 carries ~49
-    mantissa bits vs f64's 52, which shifts iteration counts ~10% on
-    ill-conditioned spectra (407 vs 366 there) at equal answer quality —
-    the default engine keeps strict f64 parity trajectories.  TFQMR's
-    kernel is ``"always"``-only: its unpreconditioned recurrence can
-    STALL below f64 on ill-conditioned spectra (measured on case_10K_cA:
-    f32 plateaus at ||r||^2/n ~ 0.76, df64 at ~0.03, f64 converges in
-    1742 half steps), so the automatic route never picks it.
+    mantissa bits vs f64's 52, which shifts iteration counts on
+    ill-conditioned spectra (case_10K_cA: PCG 407 vs 366, TFQMR 1754 vs
+    1742) at equal answer quality — the default engine keeps strict f64
+    parity trajectories.  TFQMR's kernel runs 19.5 us/half step there
+    (34.0 ms at the engine's count vs its 126.6).  Caveat: these
+    numbers hold for the COMPILED Mosaic kernel; interpret mode
+    (CPU) does not execute df64's error-free transforms exactly
+    (XLA:CPU contraction) and TFQMR's drift-sensitive recurrence can
+    stall there — ``"auto"`` therefore never routes on CPU backends.
     """
     from ..solve import canonical_method
 
@@ -737,6 +740,19 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
         )
     fn, needs_M = _PAIR_ENGINES[m]
 
+    # Param validation precedes kernel dispatch: invalid params must
+    # return the reference's error status (lcg.cpp:150-155), not execute
+    # a kernel solve to its iteration cap.
+    err = params.validate(for_method=m)
+    if err is not None:
+        # x stays HOST numpy: a complex device array is a deferred
+        # UNIMPLEMENTED bomb on the very backends this API serves.
+        return SolveResult(
+            x=np.zeros_like(np.asarray(b)),
+            status_code=jnp.asarray(int(err), jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(jnp.nan), trace=None)
+
     if pallas not in ("never", "auto", "always"):
         raise ValueError(f"pallas must be never|auto|always, got {pallas!r}")
     if pallas != "never":
@@ -755,18 +771,13 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
                    "couplings); use make_sparse_operator's auto-pick")
         elif x0 is not None or monitor is not None or trace_len > 0:
             why = "kernel takes no x0/monitor/trace"
-        if why is None and m == "tfqmr" and pallas == "auto":
-            # The unpreconditioned TFQMR recurrence needs more mantissa
-            # than df64 carries on ill-conditioned spectra (measured
-            # bracket on case_10K_cA: f32 stalls at ||r||^2/n ~ 0.76,
-            # df64 at ~0.03, f64 converges in 1742 half steps) — the
-            # kernel is an explicit pallas='always' opt-in; auto keeps
-            # the f64-parity XLA engine.
-            why = ("df64's ~49-bit mantissa can stall TFQMR's recurrence "
-                   "on ill-conditioned spectra; pass pallas='always' to "
-                   "opt in")
         interpret = jax.default_backend() == "cpu"
         if why is None and interpret and pallas == "auto":
+            # Also a correctness guard for tfqmr: interpret-mode df64 is
+            # NOT exact (XLA:CPU contracts the error-free transforms)
+            # and its drift-sensitive recurrence can stall there, while
+            # the compiled Mosaic kernel holds near-f64 parity (1754 vs
+            # 1742 half steps on case_10K_cA).
             why = "interpreter (CPU) is slower than the XLA engine"
         if why is None:
             try:
@@ -777,9 +788,15 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
             if m == "pcg":
                 x, t, res = plan.solve(b, params=params,
                                        interpret=interpret)
+                # NaN exits the kernel's while (metric > eps is False
+                # on NaN) — classify like harness.run_loop does, not as
+                # a premature max-iterations.
                 status = jnp.where(
-                    res <= params.epsilon, int(Status.CONVERGENCE),
-                    int(Status.REACHED_MAX_ITERATIONS)).astype(jnp.int32)
+                    jnp.isnan(res), int(Status.NAN_VALUE),
+                    jnp.where(
+                        res <= params.epsilon, int(Status.CONVERGENCE),
+                        int(Status.REACHED_MAX_ITERATIONS))).astype(
+                            jnp.int32)
             else:
                 x, t, res, st = plan.solve_tfqmr(
                     b, params=params, key=key, interpret=interpret)
@@ -827,16 +844,6 @@ def solve_realified(A, b, x0=None, *, method: str = "bicg_sym", M=None,
     bp = jnp.asarray(split_complex(b) if np.iscomplexobj(b) else
                      np.concatenate([b, np.zeros_like(b)]))
     x0p = None if x0 is None else jnp.asarray(split_complex(np.asarray(x0)))
-
-    err = params.validate(for_method=m)
-    if err is not None:
-        # x stays HOST numpy: a complex device array is a deferred
-        # UNIMPLEMENTED bomb on the very backends this API serves.
-        return SolveResult(
-            x=np.zeros_like(b),
-            status_code=jnp.asarray(int(err), jnp.int32),
-            iterations=jnp.asarray(0, jnp.int32),
-            residual=jnp.asarray(jnp.nan), trace=None)
 
     if needs_M:
         if M is None:

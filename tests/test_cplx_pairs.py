@@ -139,25 +139,40 @@ def test_pairs_rejects_unknown_and_missing_M(complex_sym_small):
 # --- batched pair solves (round 5: multi-RHS complex on-chip) ---------------
 
 
-@pytest.mark.parametrize("method", ["bicg_sym", "cgs", "pcg"])
+@pytest.mark.parametrize(
+    "method", ["bicg", "bicg_sym", "cgs", "bicgstab", "pcg", "pbicg"])
 def test_pairs_batched_matches_single(complex_sym_small, method):
     """Per-system counts/solutions of the batched pair path must match
     one-at-a-time solve_realified (per-system freezing through the
-    batched harness)."""
+    batched harness) — every method _BATCHED_PAIR_METHODS advertises
+    (pbicg exercises the conj(A) product's batched axis)."""
     A, b, x_true = complex_sym_small
     op = lcg.DenseOperator(A)
     p = lcg.SolverParams(epsilon=1e-13)
-    kw = dict(M="jacobi") if method == "pcg" else {}
+    kw = dict(M="jacobi") if method in ("pcg", "pbicg") else {}
     B = np.stack([b, 2.0 * b, b * (1 - 0.5j)])
     rb = lcg.solve_realified_batched(op, B, method=method, params=p, **kw)
     assert rb.x.shape == B.shape
+    # bicgstab's unsmoothed recurrence amplifies the batched reductions'
+    # reordering on this fixture's spectrum (counts drift ~8 at
+    # eps=1e-13 with both sides CONVERGENCE); the others track tightly.
+    count_tol = 12 if method == "bicgstab" else 2
+    scales = [1.0, 2.0, 1 - 0.5j]
     for i in range(3):
         r1 = lcg.solve_realified(op, B[i], method=method, params=p, **kw)
         assert int(rb.status_code[i]) == int(r1.status_code)
-        assert abs(int(rb.iterations[i]) - int(r1.iterations)) <= 2
-        # batched reductions reorder the sums -> ~1e-4 trajectory drift
-        # at the loose ||r||^4 stopping metric; both are true solutions
-        np.testing.assert_allclose(rb.x[i], r1.x, atol=1e-3)
+        assert abs(int(rb.iterations[i]) - int(r1.iterations)) <= count_tol
+        if method == "bicgstab":
+            # its unsmoothed trajectories land ~1e-3 apart on this
+            # conditioning — assert both against the true solution
+            np.testing.assert_allclose(rb.x[i], x_true * scales[i],
+                                       atol=1e-2)
+            np.testing.assert_allclose(r1.x, x_true * scales[i],
+                                       atol=1e-2)
+        else:
+            # batched reductions reorder the sums -> ~1e-4 trajectory
+            # drift at the loose ||r||^4 metric; both are true solutions
+            np.testing.assert_allclose(rb.x[i], r1.x, atol=1e-3)
 
 
 def test_pairs_batched_traces_and_errors(complex_sym_small):

@@ -105,9 +105,10 @@ def test_solve_realified_pallas_tfqmr_route():
     with pytest.raises(ValueError, match="unpreconditioned"):
         lcg.solve_realified(A, b, method="tfqmr", M="jacobi",
                             pallas="always")
-    # auto never routes tfqmr to the kernel (measured df64 precision
-    # wall on ill-conditioned spectra) — it falls through to the f64
-    # engine and still converges.
+    # auto never routes to the interpreter on CPU backends (slower than
+    # the engine — and interpret-mode df64 is inexact, which stalls
+    # tfqmr's drift-sensitive recurrence on hard spectra): it falls
+    # through to the f64 engine and converges.
     r_auto = lcg.solve_realified(A, b, method="tfqmr", params=p,
                                  pallas="auto")
     assert lcg.Status(int(r_auto.status_code)) == lcg.Status.CONVERGENCE
