@@ -738,20 +738,30 @@ def bench_case10kc():
     iters_k = int(res_k[1])
     md_k = float(np.max(np.abs(res_k[0] - answer)))
 
-    def wall_fixed(it, reps=6):
-        pw = lcg.SolverParams(epsilon=1e-30, abs_diff=1, max_iterations=it)
-        plan.solve(s.b, params=pw)  # compile
-        return _best(lambda: plan.solve(s.b, params=pw), reps=reps,
-                     sync=lambda r: np.asarray(r[0][:2]))
+    def _paired_slope(run_fixed, it_lo, it_hi, pairs=12):
+        """Per-iteration device time from fixed-work walls, measured as
+        INTERLEAVED (lo, hi) pairs with a median of differences: tunnel
+        wall drift between separately-min'd walls dominated a wide
+        spread (measured 9.7/12.3/47.6 us-per-iter across three runs of
+        the diff-of-mins estimator); pairing cancels the drift and the
+        median rejects RTT spikes."""
+        f_lo = run_fixed(it_lo)
+        f_hi = run_fixed(it_hi)
+        f_lo(); f_hi()                      # compile both
+        diffs = []
+        for _ in range(pairs):
+            t0 = time.perf_counter(); f_lo(); t1 = time.perf_counter()
+            f_hi(); t2 = time.perf_counter()
+            diffs.append((t2 - t1) - (t1 - t0))
+        d = float(np.median(diffs))
+        return d / (it_hi - it_lo) if d > 0 else None
 
-    # Wide iteration spread: the wall is RTT-dominated (~32 ms), so a
-    # 400-iteration spread (~9 ms of work) was noise-prone — 1200
-    # iterations of spread triples the signal for the same rep count.
-    it_lo, it_hi = 25, 1225
-    w_lo = wall_fixed(it_lo)
-    w_hi = wall_fixed(it_hi)
-    dev_k = ((w_hi - w_lo) / (it_hi - it_lo) * iters_k
-             if w_hi > w_lo else None)
+    def run_pcg_fixed(it):
+        pw = lcg.SolverParams(epsilon=1e-30, abs_diff=1, max_iterations=it)
+        return lambda: np.asarray(plan.solve(s.b, params=pw)[0][:2])
+
+    per_iter_k = _paired_slope(run_pcg_fixed, 25, 1225)
+    dev_k = per_iter_k * iters_k if per_iter_k else None
 
     # df64 TFQMR kernel (round 5).  The compiled Mosaic kernel holds
     # near-f64 parity on this spectrum (1754 half steps vs the engine's
@@ -773,16 +783,13 @@ def bench_case10kc():
     true_res_tk = float(np.sum(np.abs(np.asarray(s.b) - ax_tk) ** 2)) / n
     conv_tk = bool(st_tk == 0 and true_res_tk <= 5e-6)
 
-    def wall_tfqmr(it, reps=5):
+    def run_tfqmr_fixed(it):
         pw = lcg.SolverParams(epsilon=1e-30, abs_diff=1, max_iterations=it)
-        plan.solve_tfqmr(s.b, params=pw)
-        return _best(lambda: plan.solve_tfqmr(s.b, params=pw), reps=reps,
-                     sync=lambda r: np.asarray(r[0][:2]))
+        return lambda: np.asarray(plan.solve_tfqmr(s.b, params=pw)[0][:2])
 
-    wt_lo = wall_tfqmr(100)
-    wt_hi = wall_tfqmr(1500)
-    us_tk = ((wt_hi - wt_lo) / 1400.0 * 1e6 if wt_hi > wt_lo else None)
-    dev_tk = (us_tk * 1e-6 * iters_t if us_tk is not None else None)
+    per_half_tk = _paired_slope(run_tfqmr_fixed, 100, 1500)
+    us_tk = per_half_tk * 1e6 if per_half_tk else None
+    dev_tk = (per_half_tk * iters_t if per_half_tk is not None else None)
 
     out = {"direct_wall_ms": direct_wall * 1e3, "direct_max_diff": direct_md,
            "k_coupled": D.k,
@@ -1336,7 +1343,17 @@ def _run_all_isolated(budget_s: float):
     stalled = set()
     failed = []
     cap = float(os.environ.get("LIBLCG_BENCH_WORKLOAD_CAP_S", "360"))
-    remaining = list(WORKLOADS)
+    # Stalest-first: when the budget can't cover every workload (cold
+    # caches, stall waves), a fixed order starves the same tail forever
+    # — ordering by last successful measurement makes repeated
+    # budget-bound runs converge to all-fresh (never-measured first).
+    hist = _load_history()
+    def _age_key(name):
+        entry = hist.get(name)
+        if isinstance(entry, dict) and entry.get("measured_at"):
+            return entry["measured_at"]
+        return ""                       # sorts before any ISO timestamp
+    remaining = sorted(WORKLOADS, key=_age_key)
     while remaining:
         left = budget_s - (time.monotonic() - t_start)
         if left < 45:
